@@ -1,0 +1,54 @@
+"""Engine configuration.
+
+The reference keeps its rule definitions in an external config package
+(``corhal-config``, loaded at /root/reference/src/deduplicateQueryBuilder.js:2)
+and its behavioural constants inline (result cap index.js:56, graph depth
+documentsManager.js:190). We centralize everything here; ``config_hash``
+stamps every stage table so resume only reuses work computed under the
+identical configuration (SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / MinHash (engine 1) ---
+    shingle_k: int = 3            # tokens per shingle
+    num_perms: int = 128          # MinHash permutations (north_star: 128)
+    lsh_bands: int = 32           # bands; rows per band = num_perms // lsh_bands
+    jaccard_threshold: float = 0.8
+    minhash_seed: int = 42
+
+    # --- SimHash (engine 2) ---
+    simhash_bits: int = 60        # 60 bits = 15 hex chars of md5 → fits signed int64
+    hamming_max: int = 3          # Hamming-ball radius; pigeonhole chunks = hamming_max + 1
+
+    # --- suffix/substring (engine 3) ---
+    substring_min_tokens: int = 12  # min length of normalized text to count as contained
+
+    # --- clustering ---
+    cc_max_iterations: int = 50
+    cc_checkpoint_every: int = 5
+
+    # --- skew control ---
+    band_bucket_cap: int = 2000   # pairs per LSH bucket before salted split kicks in
+    salt_buckets: int = 16
+
+    # --- session semantics (reference: technical.sessionName) ---
+    session_name: str = "batch-0"
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        return self.num_perms // self.lsh_bands
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

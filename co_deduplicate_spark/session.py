@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the dedup workload.
+
+Local-mode defaults mirror what we would set cluster-side: AQE on (runtime
+skew-join splitting for hot LSH bands), shuffle partitions sized to cores
+(not the 200 default), Arrow enabled for the pandas-UDF signature kernels,
+UTC session timezone so results hash-compare against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "co_deduplicate_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    ui: bool = False,
+) -> SparkSession:
+    """Build a local SparkSession. ``cores=None`` → ``local[*]``.
+
+    On a real cluster the same configs apply (minus master/driver-memory,
+    which spark-submit owns); see ``plans/pipeline.py`` for the
+    cluster-scale partitioning strategy.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else 0
+    master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores and cores > 0 else (os.cpu_count() or 8))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", str(ui).lower())
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
