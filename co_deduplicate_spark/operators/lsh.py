@@ -1,0 +1,97 @@
+"""LSH band hashing + candidate self-join (blocking stage).
+
+The Spark-native replacement for the reference's inverted-index candidate
+retrieval: where the reference emits one ES bool-should clause per rule
+and lets Lucene's term index do sub-linear blocking
+(/root/reference/src/deduplicateQueryBuilder.js:22-29, 75-107;
+src/getBaseRequest.js:1-8 ``minimum_should_match:1``), we materialize
+blocking keys — (band_id, band_hash) — as columns and shuffle-hash-join on
+them. "Any band matches" ≡ the reference's rule disjunction.
+
+Everything here is JVM-side: band hashes come from ``xxhash64`` over
+signature slices (whole-stage codegen, no Python).
+
+Skew (the real 100 TB problem — boilerplate pages collapse into mega-bands):
+  * AQE skew-join splitting is on (session.py).
+  * ``star_reduce_threshold``: buckets larger than the threshold emit a
+    star (bucket-min → member) instead of the full clique. A star preserves
+    *connectivity* exactly — connected components are unchanged — while
+    cutting a b-size bucket from O(b²) to O(b) candidate edges. Pair-level
+    recall for such buckets is then recovered transitively by the cluster
+    stage rather than pairwise verification; bucket counts are logged to
+    the lineage table, never silently dropped (SURVEY.md §7 step 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+
+
+def band_table(signatures: DataFrame, cfg: DedupConfig, doc_col: str = "doc",
+               sig_col: str = "minhash") -> DataFrame:
+    """Explode each signature into (doc, band_id, band_hash).
+
+    band_hash = xxhash64 of the band's signature slice — computed inside a
+    single ``transform`` over a compile-time band sequence, then
+    posexploded; NULL signatures (non-deduplicable docs) are dropped here.
+    """
+    r = cfg.lsh_rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col(sig_col), b * r + 1, r)),
+    )
+    return (
+        signatures.filter(F.col(sig_col).isNotNull())
+        .select(F.col(doc_col).alias("doc"), F.posexplode(bands).alias("band_id", "band_hash"))
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
+                    star_reduce_threshold: int | None = None) -> DataFrame:
+    """Self-join band table on (band_id, band_hash) → distinct (src < dst).
+
+    ``star_reduce_threshold=None`` emits every intra-bucket pair (exact
+    candidate set). With a threshold t, buckets of size > t emit only
+    (bucket_min, member) star edges — see module docstring.
+    """
+    if star_reduce_threshold is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+            .distinct()
+        )
+
+    w = Window.partitionBy("band_id", "band_hash")
+    sized = bands.withColumn("bucket_n", F.count(F.lit(1)).over(w)).withColumn(
+        "bucket_min", F.min("doc").over(w)
+    )
+    small = sized.filter(F.col("bucket_n") <= star_reduce_threshold).drop("bucket_n", "bucket_min")
+    a = small.alias("a")
+    b = small.alias("b")
+    clique = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+    )
+    star = (
+        sized.filter((F.col("bucket_n") > star_reduce_threshold) & (F.col("doc") != F.col("bucket_min")))
+        .select(F.col("bucket_min").alias("src"), F.col("doc").alias("dst"))
+    )
+    return clique.unionByName(star).distinct()
+
+
+def bucket_stats(bands: DataFrame) -> DataFrame:
+    """Per-bucket size histogram for skew diagnostics / lineage counters."""
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .groupBy("bucket_n")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.desc("bucket_n"))
+    )

@@ -1,0 +1,134 @@
+"""MinHash signatures — Arrow-vectorized pandas UDF (engine 1 of 3).
+
+Generalizes the reference's exact-key blocking (tier-1/tier-2 rules,
+/root/reference/src/deduplicateQueryBuilder.js:75-107 +
+test/functional/dataset/exemples.json rule names) to near-duplicate
+blocking over web text, per BASELINE.json north_star: k-shingle sets and
+128-permutation signatures computed per Arrow batch.
+
+Design choices (determinism is a hard requirement — FIXTURES.md §4):
+  * base shingle hash: blake2b(digest_size=8) — stable across processes,
+    partitions, and runs (Python's builtin ``hash`` is salted; NOT used).
+  * permutations: affine maps ``h -> a*h + b (mod 2^64)`` with odd ``a``.
+    Odd-multiplier affine maps are bijections of Z_2^64, i.e. true
+    permutations, which is exactly what MinHash needs; numpy uint64
+    arithmetic wraps mod 2^64 natively, so the whole signature is
+    vectorized — no per-permutation Python loop.
+  * seeds: fixed in DedupConfig → signatures identical across runs and
+    across partition counts.
+
+Docs with zero shingles get a NULL signature (the reference's
+``isDeduplicable=false`` short-circuit, index.js:45-49).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DedupConfig
+from ..functions.normalize import tokens_py
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def shingles_py(text: str | None, k: int) -> list[str]:
+    """Distinct k-token shingles. Shorter-than-k docs collapse to one
+    whole-text shingle (mirrors operators/jaccard.py::token_sets)."""
+    toks = tokens_py(text)
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    seen = dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    return list(seen)
+
+
+def shingle_hash(s: str) -> int:
+    """Stable 64-bit shingle hash (blake2b-8)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(cfg.minhash_seed)
+    a = rng.randint(0, 1 << 62, size=cfg.num_perms).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=cfg.num_perms).astype(np.uint64)
+    return a, b
+
+
+def minhash_py(text: str | None, cfg: DedupConfig) -> list[int] | None:
+    """Pure-Python/numpy reference implementation (unit tests + oracle)."""
+    sh = shingles_py(text, cfg.shingle_k)
+    if not sh:
+        return None
+    a, b = _perm_params(cfg)
+    h = np.array([shingle_hash(s) for s in sh], dtype=np.uint64)
+    sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+    return sig.view(np.int64).tolist()
+
+
+def minhash_signature_udf(cfg: DedupConfig):
+    """Arrow-batched signature kernel: text → array<long>[num_perms].
+
+    Uses mapInPandas-compatible Series→Series pandas UDF; the permutation
+    matrix is built once per executor (closure capture, small constant).
+    """
+    k = cfg.shingle_k
+    a_params, b_params = _perm_params(cfg)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in texts:
+            out = []
+            for t in batch:
+                sh = shingles_py(t, k)
+                if not sh:
+                    out.append(None)
+                    continue
+                h = np.fromiter(
+                    (shingle_hash(s) for s in sh), dtype=np.uint64, count=len(sh)
+                )
+                sig_v = (h[:, None] * a_params[None, :] + b_params[None, :]).min(axis=0)
+                out.append(sig_v.view(np.int64))
+            yield pd.Series(out, dtype=object)
+
+    return sig
+
+
+def with_minhash(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, minhash array<long>, n_shingles int) signature table.
+
+    n_shingles is carried for lineage counters (FIXTURES.md §3 signatures
+    schema) and for the estimated-Jaccard shortcut.
+    """
+    sig = minhash_signature_udf(cfg)
+    n_shingles_udf = _n_shingles_udf(cfg)
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        sig(F.col(text_col)).alias("minhash"),
+        n_shingles_udf(F.col(text_col)).alias("n_shingles"),
+    )
+
+
+def _n_shingles_udf(cfg: DedupConfig):
+    k = cfg.shingle_k
+
+    @F.pandas_udf(T.IntegerType())
+    def n_sh(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in texts:
+            yield pd.Series([len(shingles_py(t, k)) for t in batch], dtype="int32")
+
+    return n_sh
+
+
+def estimated_jaccard_expr(sig_a: Column, sig_b: Column, cfg: DedupConfig) -> Column:
+    """Fraction of agreeing permutation slots — the MinHash estimator."""
+    agree = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.aggregate(agree, F.lit(0), lambda acc, x: acc + x) / F.lit(cfg.num_perms)
