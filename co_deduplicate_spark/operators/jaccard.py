@@ -81,11 +81,14 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             F.first("b.n_tokens").alias("nb"),
         )
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # jaccard_ppm is exact integer arithmetic (inter*1e6 div union) — the
+    # cross-engine comparable value; `jaccard` is the human-facing double.
+    union = F.col("na") + F.col("nb") - F.col("inter")
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
+        inter.withColumn("jaccard_ppm", F.expr("(inter * 1000000L) div (na + nb - inter)"))
+        .withColumn("jaccard", F.round(F.col("inter") / union, 6))
+        .filter(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
+        .select("src", "dst", "jaccard", "jaccard_ppm")
     )
 
 
@@ -112,13 +115,15 @@ def verify_candidates(candidates: DataFrame, docs: DataFrame, id_col: str = "doc
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = ts.select("doc", "n_tokens")
+    union = F.col("na") + F.col("nb") - F.col("inter")
     out = (
         cand.join(inter, ["src", "dst"], "left")
         .fillna({"inter": 0})
         .join(sizes.withColumnRenamed("doc", "src").withColumnRenamed("n_tokens", "na"), "src")
         .join(sizes.withColumnRenamed("doc", "dst").withColumnRenamed("n_tokens", "nb"), "dst")
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
+        .withColumn("jaccard_ppm", F.expr("(inter * 1000000L) div (na + nb - inter)"))
+        .withColumn("jaccard", F.round(F.col("inter") / union, 6))
+        .filter(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
+        .select("src", "dst", "jaccard", "jaccard_ppm")
     )
     return out

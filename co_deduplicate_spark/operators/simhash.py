@@ -1,0 +1,126 @@
+"""SimHash + Hamming-ball candidate lookup (engine 2 of 3).
+
+Per BASELINE.json north_star: 60-bit SimHash over distinct normalized
+tokens, candidate pairs found with the pigeonhole principle — split the
+signature into ``hamming_max + 1`` chunks and equi-join on any equal
+chunk. Pigeonhole blocking is *exact*: two signatures within Hamming
+distance d must agree on at least one of d+1 chunks, so candidate recall
+is 1.0 by construction (unlike MinHash-LSH's probabilistic bands). The
+chunk join is the same blocking-key pattern as the reference's per-rule
+term lookups (/root/reference/src/deduplicateQueryBuilder.js:75-107).
+
+Token hash: low 60 bits of md5 (first 15 hex chars) — chosen because it is
+reproducible in any engine (the DuckDB oracle computes the identical
+signature in SQL; tests/test_entry.py proves bit-equality). Signature bit
+b is set iff the (+1/−1) vote sum over distinct tokens is strictly
+positive — ties → 0, matching the SQL mirror.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DedupConfig
+from ..functions.normalize import tokens_py
+
+
+def token_hash_py(token: str, bits: int = 60) -> int:
+    """Low ``bits`` of md5 — mirrored by the oracle as
+    ``('0x' || substr(md5(t), 1, bits//4))::BIGINT``."""
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[: bits // 4], 16)
+
+
+def simhash_py(text: str | None, bits: int = 60) -> int | None:
+    toks = sorted(set(tokens_py(text)))
+    if not toks:
+        return None
+    h = np.array([token_hash_py(t, bits) for t in toks], dtype=np.uint64)
+    bit_matrix = (h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = 2 * bit_matrix.sum(axis=0).astype(np.int64) - len(toks)
+    sig = 0
+    for b in range(bits):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig
+
+
+def simhash_udf(cfg: DedupConfig):
+    bits = cfg.simhash_bits
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in texts:
+            yield pd.Series([simhash_py(t, bits) for t in batch], dtype=object)
+
+    return sh
+
+
+def with_simhash(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc"), simhash_udf(cfg)(F.col(text_col)).alias("simhash")
+    )
+
+
+def hamming_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """All pairs (src < dst) with Hamming(simhash) <= hamming_max.
+
+    Pigeonhole chunk join (exact), then JVM-side popcount verification:
+    ``bit_count(s1 ^ s2)`` — whole-stage codegen, no Python.
+    """
+    n_chunks = cfg.hamming_max + 1
+    chunk_bits = cfg.simhash_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    # shiftright takes a literal bit count → unroll the (compile-time small)
+    # chunk loop into an array literal instead of a transform lambda
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
+    )
+    keyed = (
+        sigs.filter(F.col("simhash").isNotNull())
+        .select("doc", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_val"))
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("src"),
+            F.col("b.doc").alias("dst"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= cfg.hamming_max)
+        .distinct()
+    )
+
+
+def duckdb_simhash_sql(docs_rel: str, id_sql: str, tokens_sql: str, bits: int = 60) -> str:
+    """DuckDB SQL computing the identical simhash per doc (oracle mirror)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_sql} AS doc, unnest(list_distinct({tokens_sql})) AS t
+      FROM {docs_rel}
+    ),
+    hashed AS (
+      SELECT doc, ('0x' || substr(md5(t), 1, {bits // 4}))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc, b.b AS b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, (SELECT unnest(range({bits})) AS b) b
+      GROUP BY doc, b.b
+    )
+    SELECT doc, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY doc
+    """
