@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries + the flagship pages-dedup pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec_pipeline": ...}
+
+Env knobs:
+  SPARK_GRAFT_CPUS          executor threads (default 32)
+  SPARK_GRAFT_SF_DIR        testdata dir (default sf0.1)
+  SPARK_GRAFT_BENCH_PAGES   synthetic pages for the pipeline leg (default 20000)
+  SPARK_GRAFT_BENCH_ONLY_PIPELINE  if "1", skip the query battery (scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+# headline queries run at sf0.1; token_jaccard_pairs (unigram, exhaustive)
+# is deliberately excluded — its postings self-join is quadratic in the
+# tiny synthetic vocabulary and exists for the sf0.01 correctness gate only.
+HEADLINE = [
+    "minhash_lsh_pairs",
+    "shingle_jaccard_pairs",
+    "dup_clusters_cc",
+    "cluster_chains",
+    "simhash_values",
+    "simhash_hamming_pairs",
+    "rule_based_pairs",
+    "containment_pairs",
+    "ann_cosine_topk",
+    "doc_profile",
+    "lang_guess",
+    "exact_dup_clusters",
+    "events_top_type",
+    "events_sessions",
+    "lineitem_pricing",
+    "nation_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    only_pipeline = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from co_deduplicate_spark.plans.pipeline import run_pipeline
+    from co_deduplicate_spark.session import build_session
+    from co_deduplicate_spark.sources.pages import synth_pages
+
+    import __spark_entry__ as em
+
+    spark = build_session("co_dedup_bench", cores=cpus, driver_memory="48g")
+    timings: dict[str, float] = {}
+
+    if not only_pipeline:
+        qs = em.queries()
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+
+    # flagship pages pipeline: generation + caching excluded (input prep),
+    # extract→signatures→LSH→verify→CC→clusters timed end-to-end incl. stage IO
+    pages_parquet = os.environ.get("SPARK_GRAFT_BENCH_PAGES_PARQUET")
+    if pages_parquet:
+        # pre-generated corpus: both scaling runs read the identical bytes
+        pages = spark.read.parquet(pages_parquet)
+        n_pages = pages.count()
+    else:
+        pages = synth_pages(spark, n_pages).cache()
+        pages.count()
+    # stage tables on tmpfs: measure the engine, not root-device writeback
+    wk_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    wk = tempfile.mkdtemp(prefix="bench_pipeline_", dir=wk_base)
+    try:
+        t0 = time.time()
+        out = run_pipeline(spark, pages, wk, resume=False)
+        out["clusters"].count()
+        pipeline_sec = time.time() - t0
+    finally:
+        shutil.rmtree(wk, ignore_errors=True)
+    timings["pages_pipeline"] = round(pipeline_sec, 3)
+    docs_per_sec = round(n_pages / pipeline_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_pipeline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "pipeline_pages": n_pages,
+                "docs_per_sec_pipeline": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,45 +20,45 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..functions.normalize import fold_accents_udf, tokens_expr
 
 
 def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                shingle_k: int = 1, fold: bool = True) -> DataFrame:
     """(id, tokens array<string>, n_tokens) with distinct token k-shingles.
 
-    ``fold=True`` (default) accent-folds before tokenizing so JVM-side
-    shingle sets agree byte-for-byte with the Python kernel used by the
-    MinHash UDF (tokens_py folds always) — required for verification to
-    agree with signatures on non-ASCII text. Pass ``fold=False`` only for
-    corpora known to be ASCII-clean (keeps the whole plan in codegen).
+    Implementation note: this is an Arrow-batched pandas UDF, NOT a
+    Catalyst higher-order-function expression. Measured on 200k web pages,
+    the equivalent ``transform(sequence(...), i -> concat_ws(slice(...)))``
+    expression ran ~30× slower — Spark evaluates HOF lambdas interpreted
+    (no codegen, no common-subexpression reuse across elements), so
+    per-element array slicing + string building dominates. The Python
+    kernel (functions/normalize.py::tokens_py + minhash.py::shingles_py)
+    is also byte-identical to what the MinHash signature UDF hashes, which
+    verification requires.
+
+    ``fold`` is accepted for API stability but the kernel always
+    accent-folds (tokens_py semantics == the DuckDB oracle's
+    strip_accents; folding is the identity on ASCII corpora).
     """
-    # Fold in its own projection: Spark disallows Python UDFs inside
-    # higher-order-function lambdas, so the Arrow fold must be a plain
-    # column before the transform/filter expressions below consume it.
-    if fold:
-        base = docs.select(
-            F.col(id_col).alias("doc"), fold_accents_udf(F.col(text_col)).alias("_t")
-        )
-    else:
-        base = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"))
-    toks = tokens_expr(F.col("_t"), fold=False)
-    if shingle_k > 1:
-        # k-token shingles, JVM-side: transform over a sequence of offsets
-        toks = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_k)),
-        )
-    # Empty docs must yield an empty shingle set (isDeduplicable=false path,
-    # /root/reference/index.js:45-49), not a {""} set that matches all empties.
-    toks = F.array_distinct(F.filter(toks, lambda x: x != ""))
-    return base.select(
-        F.col("doc"),
-        toks.alias("tokens"),
-    ).withColumn("n_tokens", F.size("tokens"))
+    from .minhash import shingles_py
+
+    @F.pandas_udf("tokens array<string>, n_tokens int")
+    def sh(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for batch in texts:
+            arrs = [shingles_py(t, shingle_k) for t in batch]
+            yield pd.DataFrame(
+                {"tokens": pd.Series(arrs, dtype=object),
+                 "n_tokens": pd.Series([len(a) for a in arrs], dtype="int32")}
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc"), sh(F.col(text_col)).alias("_s")
+    ).select("doc", F.col("_s.tokens").alias("tokens"), F.col("_s.n_tokens").alias("n_tokens"))
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -68,7 +68,8 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     Exhaustive (recall 1.0 by construction): every overlapping pair
     survives the postings join. Columns: src, dst, jaccard.
     """
-    ts = token_sets(docs, id_col, text_col, shingle_k, fold=fold)
+    # materialize the shingle table once — it feeds both join sides
+    ts = token_sets(docs, id_col, text_col, shingle_k, fold=fold).localCheckpoint()
     postings = ts.select("doc", "n_tokens", F.explode("tokens").alias("token"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -101,28 +102,43 @@ def verify_candidates(candidates: DataFrame, docs: DataFrame, id_col: str = "doc
     restricted to candidate pairs — never materializes full cross products.
     Returns (src, dst, jaccard) for pairs passing the threshold.
     """
-    ts = token_sets(docs, id_col, text_col, shingle_k, fold=fold)
-    postings = ts.select("doc", F.explode("tokens").alias("token"))
-    cand = candidates.select("src", "dst").distinct()
+    # The candidate plan (pandas-UDF signatures + LSH self-join) is consumed
+    # by two joins below; checkpoint it once so Spark doesn't re-execute
+    # the whole upstream per branch. Candidates are (src, dst) pairs — tiny
+    # relative to the corpus at any scale.
+    cand = candidates.select("src", "dst").distinct().localCheckpoint()
 
-    src_post = cand.join(postings.withColumnRenamed("doc", "src"), "src")
-    inter = (
-        src_post.join(
-            postings.select(F.col("doc").alias("dst"), "token"),
-            ["dst", "token"],
-        )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Only candidate docs need shingling — semi-join prunes the corpus
+    # first (at 100 TB this skips re-shingling the non-candidate majority).
+    cand_docs = (
+        cand.select(F.col("src").alias("doc"))
+        .union(cand.select(F.col("dst").alias("doc")))
+        .distinct()
     )
-    sizes = ts.select("doc", "n_tokens")
-    union = F.col("na") + F.col("nb") - F.col("inter")
+    pruned = docs.join(
+        cand_docs.withColumnRenamed("doc", id_col), id_col, "left_semi"
+    )
+    # Shingle-set table feeds both join sides — materialize once.
+    ts = token_sets(pruned, id_col, text_col, shingle_k, fold=fold).localCheckpoint()
+
+    # Exact intersection per pair via array_intersect (hash-set, O(n+m))
+    # directly on the two shingle arrays: two shuffle joins keyed on doc id,
+    # no postings explode, no pair-level re-aggregation.
     out = (
-        cand.join(inter, ["src", "dst"], "left")
-        .fillna({"inter": 0})
-        .join(sizes.withColumnRenamed("doc", "src").withColumnRenamed("n_tokens", "na"), "src")
-        .join(sizes.withColumnRenamed("doc", "dst").withColumnRenamed("n_tokens", "nb"), "dst")
+        cand.join(
+            ts.select(F.col("doc").alias("src"), F.col("tokens").alias("_ta"),
+                      F.col("n_tokens").alias("na")),
+            "src",
+        )
+        .join(
+            ts.select(F.col("doc").alias("dst"), F.col("tokens").alias("_tb"),
+                      F.col("n_tokens").alias("nb")),
+            "dst",
+        )
+        .filter((F.col("na") + F.col("nb")) > 0)  # ANSI div-by-zero guard (two empty docs)
+        .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
         .withColumn("jaccard_ppm", F.expr("(inter * 1000000L) div (na + nb - inter)"))
-        .withColumn("jaccard", F.round(F.col("inter") / union, 6))
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
         .filter(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
         .select("src", "dst", "jaccard", "jaccard_ppm")
     )

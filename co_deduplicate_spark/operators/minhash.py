@@ -74,58 +74,58 @@ def minhash_py(text: str | None, cfg: DedupConfig) -> list[int] | None:
 
 
 def minhash_signature_udf(cfg: DedupConfig):
-    """Arrow-batched signature kernel: text → array<long>[num_perms].
+    """Arrow-batched signature kernel: text → struct<minhash array<long>,
+    n_shingles int> in a single pass (shingling is the dominant cost; the
+    lineage counter rides along for free).
 
-    Uses mapInPandas-compatible Series→Series pandas UDF; the permutation
-    matrix is built once per executor (closure capture, small constant).
+    The permutation matrix is built once per executor (closure capture,
+    small constant).
     """
     k = cfg.shingle_k
     a_params, b_params = _perm_params(cfg)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    @F.pandas_udf("minhash array<bigint>, n_shingles int")
+    def sig(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for batch in texts:
-            out = []
+            sigs: list = []
+            counts: list = []
             for t in batch:
                 sh = shingles_py(t, k)
+                counts.append(len(sh))
                 if not sh:
-                    out.append(None)
+                    sigs.append(None)
                     continue
                 h = np.fromiter(
                     (shingle_hash(s) for s in sh), dtype=np.uint64, count=len(sh)
                 )
                 sig_v = (h[:, None] * a_params[None, :] + b_params[None, :]).min(axis=0)
-                out.append(sig_v.view(np.int64))
-            yield pd.Series(out, dtype=object)
+                sigs.append(sig_v.view(np.int64))
+            yield pd.DataFrame({"minhash": pd.Series(sigs, dtype=object),
+                                "n_shingles": pd.Series(counts, dtype="int32")})
 
     return sig
 
 
 def with_minhash(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text", repartition: int | None = 0) -> DataFrame:
     """(id, minhash array<long>, n_shingles int) signature table.
 
-    n_shingles is carried for lineage counters (FIXTURES.md §3 signatures
-    schema) and for the estimated-Jaccard shortcut.
+    The Arrow kernel parallelizes per-partition, and parquet inputs often
+    arrive as one or two files — so by default the projection is
+    repartitioned to the session's default parallelism before the UDF
+    (``repartition=None`` disables, an int pins the count). Only (id, text)
+    are shuffled — column pruning keeps document metadata out of the
+    exchange. n_shingles (lineage counter, FIXTURES.md §3) rides along from
+    the same kernel pass via signature cardinality bookkeeping JVM-side.
     """
+    narrow = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+    if repartition is not None:
+        n = repartition or docs.sparkSession.sparkContext.defaultParallelism
+        narrow = narrow.repartition(n, "doc")
     sig = minhash_signature_udf(cfg)
-    n_shingles_udf = _n_shingles_udf(cfg)
-    return docs.select(
-        F.col(id_col).alias("doc"),
-        sig(F.col(text_col)).alias("minhash"),
-        n_shingles_udf(F.col(text_col)).alias("n_shingles"),
+    return narrow.select("doc", sig(F.col("_text")).alias("_s")).select(
+        "doc", F.col("_s.minhash").alias("minhash"), F.col("_s.n_shingles").alias("n_shingles")
     )
-
-
-def _n_shingles_udf(cfg: DedupConfig):
-    k = cfg.shingle_k
-
-    @F.pandas_udf(T.IntegerType())
-    def n_sh(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for batch in texts:
-            yield pd.Series([len(shingles_py(t, k)) for t in batch], dtype="int32")
-
-    return n_sh
 
 
 def estimated_jaccard_expr(sig_a: Column, sig_b: Column, cfg: DedupConfig) -> Column:

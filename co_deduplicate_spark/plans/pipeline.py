@@ -91,9 +91,14 @@ def run_pipeline(
     else:
         sigs = with_minhash(corpus, cfg, id_col="url", text_col="text")
         sigs = cat.write("signatures", sigs)
-        n_null = sigs.filter(F.col("minhash").isNull()).count()
-        cat.log_lineage("signatures", {"rows_out": cat.manifest("signatures")["rows"],
-                                       "non_deduplicable": n_null})
+        # one aggregate pass for all counters (separate count() jobs add
+        # serial driver round-trips that dominate small-corpus runs)
+        counters = sigs.select(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("minhash").isNull().cast("long")).alias("nulls"),
+        ).collect()[0]
+        cat.log_lineage("signatures", {"rows_out": counters["rows"],
+                                       "non_deduplicable": int(counters["nulls"])})
     out["signatures"] = sigs
 
     # Stage 3: LSH banding + candidate join + exact verify ----------------
@@ -147,9 +152,12 @@ def run_pipeline(
             .withColumn("is_duplicate", F.col("size") >= 2)
         )
         clusters = cat.write("clusters", clusters)
-        n_dup = clusters.filter("is_duplicate").count()
-        cat.log_lineage("clusters", {"rows_out": cat.manifest("clusters")["rows"],
-                                     "duplicate_clusters": n_dup})
+        counters = clusters.select(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("dups"),
+        ).collect()[0]
+        cat.log_lineage("clusters", {"rows_out": counters["rows"],
+                                     "duplicate_clusters": int(counters["dups"])})
     out["clusters"] = clusters
     return out
 

@@ -32,6 +32,15 @@ def build_session(
     master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
     n_shuffle = shuffle_partitions or (cores if cores and cores > 0 else (os.cpu_count() or 8))
 
+    # Shuffle/checkpoint scratch on tmpfs when available: local-mode "disk"
+    # IO otherwise lands on the root device, and concurrent writeback from
+    # many executor threads stalls tasks (measured: a 1 s parquet write
+    # ballooning to 25 s under 32-thread writeback pressure).
+    local_dir = None
+    if os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,6 +54,8 @@ def build_session(
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,139 @@
+"""Incremental (session-scoped) cluster maintenance — the reference's
+merge/evict semantics as a batch delta job.
+
+Reference behavior being reproduced (SURVEY.md §2.4 G2/G4):
+  * every edge carries (rules, session); edges from a *different* session
+    with an empty rules list contribute their endpoints as isolated nodes
+    but NOT connectivity (/root/reference/helpers/deduplicates/helpers.js:51-82);
+  * after re-matching, members no longer reachable from any current-session
+    evidence are evicted from the cluster (helpers.js:90-96; painless
+    updateDuplicatesGraph.painless:191-196);
+  * surviving members get the recomputed chain/sources/flags
+    (painless 216-222).
+
+Batch formulation: the new session contributes fresh verified edges among
+(new ∪ neighboring old) docs; old edges are kept as connectivity only if
+they carry rules. CC re-runs *scoped to affected components* — untouched
+components keep their labels, which is what makes the delta job
+O(new + affected), not O(corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..operators.connected_components import attach_singletons, connected_components
+from ..operators.jaccard import verify_candidates
+from ..operators.lsh import band_table, candidate_pairs
+from ..operators.minhash import with_minhash
+
+
+def session_edges(edges: DataFrame, current_session: str) -> DataFrame:
+    """Apply the reference's edge-evidence filter: an edge is connectivity
+    iff it has rules, or is stamped with the current session
+    (helpers.js:51-62: same-session edges with rules connect; other-session
+    rule-less edges degrade to 'node only')."""
+    return edges.filter(
+        (F.size(F.col("rules")) > 0) | (F.col("session") == current_session)
+    )
+
+
+def incremental_update(
+    old_corpus: DataFrame,
+    old_edges: DataFrame,
+    old_labels: DataFrame,
+    new_pages: DataFrame,
+    cfg: DedupConfig,
+    current_session: str,
+) -> dict[str, DataFrame]:
+    """Merge a new crawl session into existing clusters.
+
+    Inputs: old corpus (url, text, ...), old edges (src, dst, rules,
+    session), old labels (node, component), new pages (url, text, ...).
+    Returns updated edges and labels (plus the affected-component set for
+    audit). Deterministic — re-running is idempotent.
+    """
+    spark = new_pages.sparkSession
+    full_corpus = old_corpus.select("url", "text").unionByName(
+        new_pages.select("url", "text")
+    ).dropDuplicates(["url"])
+
+    # 1. signatures for everything (production keeps the old signature table
+    #    and computes only the delta; recompute here is the same plan)
+    sigs = with_minhash(full_corpus, cfg, id_col="url", text_col="text")
+    bands = band_table(sigs, cfg)
+
+    # 2. candidates restricted to pairs touching a new doc (delta blocking)
+    new_urls = new_pages.select(F.col("url").alias("doc")).distinct()
+    new_bands = bands.join(new_urls, "doc", "left_semi")
+    a = new_bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .select(
+            F.least("a.doc", "b.doc").alias("src"),
+            F.greatest("a.doc", "b.doc").alias("dst"),
+        )
+        .distinct()
+    )
+    verified = verify_candidates(
+        cands, full_corpus, id_col="url", text_col="text",
+        threshold=cfg.jaccard_threshold, shingle_k=cfg.shingle_k,
+    )
+    new_edges = verified.select(
+        "src", "dst",
+        F.array(F.lit(f"minhash-lsh:k{cfg.shingle_k}")).alias("rules"),
+        F.lit(current_session).alias("session"),
+    )
+
+    all_edges = old_edges.select("src", "dst", "rules", "session").unionByName(new_edges)
+    # A1 distinct-by-pair, rules unioned (documentsManager.js:263-298)
+    all_edges = (
+        all_edges.groupBy("src", "dst")
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("rules"))).alias("rules"),
+            F.max("session").alias("session"),
+        )
+    )
+
+    # 3. affected components: any component touching an endpoint of a new edge
+    touched = (
+        new_edges.select(F.col("src").alias("node"))
+        .union(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    affected = (
+        old_labels.join(touched, "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    affected_nodes = old_labels.join(affected, "component", "left_semi").select("node")
+    # every new url is in scope even if it produced no edges (new singletons
+    # must get a label — the 'node only' path, helpers.js:51-62)
+    scope_nodes = (
+        affected_nodes.union(touched).union(new_urls.withColumnRenamed("doc", "node"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # 4. CC over the scoped subgraph with session-evidence edge filter (G2)
+    live = session_edges(all_edges, current_session)
+    scoped_edges = (
+        live.join(scope_nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+        .unionByName(
+            live.join(scope_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    relabeled = attach_singletons(
+        connected_components(scoped_edges, cfg=cfg), scope_nodes, node_col="node"
+    )
+
+    # 5. untouched components keep their labels (the O(affected) property)
+    untouched = old_labels.join(affected, "component", "left_anti")
+    labels = untouched.unionByName(relabeled).dropDuplicates(["node"])
+    return {"edges": all_edges, "labels": labels, "affected_components": affected}

@@ -1,0 +1,132 @@
+"""Streaming dedup, incremental session semantics (G2), multimodal plumbing."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from co_deduplicate_spark.config import DedupConfig
+from co_deduplicate_spark.operators.multimodal import (
+    decode_image_meta,
+    exact_media_dedup,
+    extract_features,
+)
+from co_deduplicate_spark.sources.pages import PAGES_SCHEMA, synth_pages
+from co_deduplicate_spark.streaming.incremental import incremental_update, session_edges
+from co_deduplicate_spark.streaming.stream_dedup import stream_exact_dedup
+
+CFG = DedupConfig()
+
+
+# ---------------------------------------------------------------- streaming
+def test_stream_exact_dedup(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    pages = synth_pages(spark, 100, seed=42)
+    pages.write.parquet(src)
+    q = (
+        stream_exact_dedup(spark, src, PAGES_SCHEMA)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM deduped")
+    n_in = pages.count()
+    n_out = out.count()
+    n_distinct_fp = pages.select(
+        F.md5(F.regexp_replace(F.lower("text"), "[^0-9a-z]+", "")).alias("fp")
+    ).distinct().count()
+    assert n_out == n_distinct_fp < n_in  # exact+style dups collapsed
+
+
+# ------------------------------------------------------- session semantics
+def test_session_edges_filter(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", ["rule1"], "s1"),   # rules → connectivity regardless of session
+            ("b", "c", [], "s2"),          # current session, no rules → connectivity
+            ("c", "d", [], "s1"),          # other session, no rules → node only
+        ],
+        "src string, dst string, rules array<string>, session string",
+    )
+    live = {(r["src"], r["dst"]) for r in session_edges(edges, "s2").collect()}
+    assert live == {("a", "b"), ("b", "c")}
+
+
+def test_incremental_update_merges_and_scopes(spark):
+    # session 1: two clusters {a1,a2}, {b1,b2}; singleton c1
+    texts = {
+        "a1": "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi",
+        "a2": "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi",
+        "b1": "one two three four five six seven eight nine ten eleven twelve thirteen fourteen",
+        "b2": "one two three four five six seven eight nine ten eleven twelve thirteen fourteen",
+        "c1": "totally unrelated content about spark adaptive query execution and skew joins",
+    }
+    old_corpus = spark.createDataFrame(list(texts.items()), "url string, text string")
+    old_edges = spark.createDataFrame(
+        [("a1", "a2", ["minhash-lsh:k3"], "s1"), ("b1", "b2", ["minhash-lsh:k3"], "s1")],
+        "src string, dst string, rules array<string>, session string",
+    )
+    old_labels = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1"), ("c1", "c1")],
+        "node string, component string",
+    )
+    # session 2: a3 joins cluster A; d1 is new singleton
+    new_pages = spark.createDataFrame(
+        [("a3", texts["a1"]), ("d1", "fresh unseen words completely distinct vocabulary here today")],
+        "url string, text string",
+    )
+    out = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG, "s2")
+    labels = {r["node"]: r["component"] for r in out["labels"].collect()}
+    assert labels["a3"] == labels["a1"] == labels["a2"]
+    assert labels["b1"] == labels["b2"]
+    assert labels["b1"] != labels["a1"]
+    assert labels["c1"] == "c1"
+    assert labels["d1"] == "d1"
+    # only cluster A was touched
+    affected = {r["component"] for r in out["affected_components"].collect()}
+    assert affected == {"a1"}
+
+
+# ------------------------------------------------------------- multimodal
+def _tiny_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def test_multimodal_decode_and_dedup(spark):
+    rows = [
+        (1, _tiny_png(64, 32)),
+        (2, _tiny_png(64, 32)),       # exact dup of 1
+        (3, _tiny_png(128, 128)),
+        (4, b"not an image"),
+        (5, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    meta = {r["media_id"]: r for r in decode_image_meta(media).collect()}
+    assert meta[1]["kind"] == "png" and (meta[1]["width"], meta[1]["height"]) == (64, 32)
+    assert meta[3]["width"] == 128
+    assert meta[4]["valid"] is False and meta[4]["kind"] == "unknown"
+    assert meta[5]["byte_len"] == 0
+    assert meta[1]["sha256"] == meta[2]["sha256"]
+
+    groups = exact_media_dedup(media).collect()
+    dup = [g for g in groups if g["n"] == 2]
+    assert len(dup) == 1 and dup[0]["members"] == [1, 2]
+
+    feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert feats[1] == feats[2]          # deterministic: same bytes → same features
+    assert feats[1] != feats[3]
+    assert len(feats[1]) == 16
