@@ -74,14 +74,12 @@ FROM ipairs JOIN sizes sa ON sa.doc_id = src JOIN sizes sb ON sb.doc_id = dst
 WHERE (cnt * 1000000) // (sa.n + sb.n - cnt) >= {JACCARD_PPM}
 """
 
-_SQL_SIMHASH = """
-toks AS (
-  SELECT doc_id, list_filter(string_split(trim(regexp_replace(strip_accents(
-  lower(text)), '[^0-9a-z]+', ' ', 'g')), ' '), t -> t != '') AS ts FROM documents
-),
+_SQL_SIMHASH = f"""
+toks AS ({_SQL_TOKS}),
+shs AS ({_SQL_SHINGLES3}),
 hashed AS (
   SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
-  FROM (SELECT doc_id, unnest(list_distinct(ts)) AS t FROM toks)
+  FROM (SELECT doc_id, unnest(sh) AS t FROM shs)
 ),
 votes AS (
   SELECT doc_id, b.b AS b,
@@ -292,6 +290,34 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """A1/S4: exact-dedup survivor set (min doc_id per normalized content)."""
+    from co_deduplicate_spark.operators.exact import dedup_keep_first
+
+    return dedup_keep_first(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", normalized=True
+    ).select("doc_id")
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact brute-force baseline;
+    the LSH-bucketed variant is operators/ann.py::bucketed_ann_topk).
+    Threshold 0.40: the synthetic embeddings have no pairs above ~0.6."""
+    from co_deduplicate_spark.operators.ann import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("src") < F.col("dst"))
+        .select(
+            "src", "dst",
+            F.round(cosine_expr(F.col("va"), F.col("vb")) * 1_000_000).cast("long").alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= 400_000)
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for query vectors vec_id < 20."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -381,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "rule_based_pairs": q_rule_based_pairs,
         "containment_pairs": q_containment_pairs,
+        "dedup_keep_first": q_dedup_keep_first,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_top_type": q_events_top_type,
         "events_sessions": q_events_sessions,
@@ -505,6 +533,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT inner_id AS inner, outer_id AS outer
             FROM inners JOIN containers USING (anchor)
             WHERE inner_id != outer_id AND contains(outer_str, inner_str)
+        """,
+        "dedup_keep_first": f"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5({_SQL_NORM})
+        """,
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   CAST(ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                        * 1000000) AS BIGINT) AS cos_micro
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE CAST(ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                        * 1000000) AS BIGINT) >= 400000
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -17,6 +17,10 @@ from dataclasses import asdict, dataclass, field
 
 @dataclass(frozen=True)
 class DedupConfig:
+    # bump when kernel semantics change (participates in config_hash so
+    # resumed runs never mix signature generations) — v2: shingle-simhash
+    engine_version: str = "2"
+
     # --- shingling / MinHash (engine 1) ---
     shingle_k: int = 3            # tokens per shingle
     num_perms: int = 128          # MinHash permutations (north_star: 128)

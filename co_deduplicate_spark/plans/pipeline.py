@@ -60,14 +60,28 @@ def run_pipeline(
     cfg: DedupConfig | None = None,
     resume: bool = True,
     star_reduce: bool = False,
+    engines: tuple[str, ...] = ("minhash",),
 ) -> dict[str, DataFrame]:
-    """Run (or resume) the full MinHash-LSH dedup pipeline.
+    """Run (or resume) the dedup pipeline with the selected engines.
+
+    ``engines`` ⊆ {"minhash", "simhash", "substring"} — the three
+    interoperable candidate engines (BASELINE.json north_star). Their edges
+    are unioned with per-pair rule provenance before clustering, the batch
+    analogue of the reference's rule disjunction (`minimum_should_match:1`,
+    /root/reference/src/getBaseRequest.js:1-8) with `matched_queries`
+    provenance (deduplicateQueryBuilder.js:56-67).
 
     Returns the stage tables: corpus, signatures, candidate_edges,
     cluster_labels, clusters.
     """
     cfg = cfg or DedupConfig()
-    cat = StageCatalog(spark, workdir, cfg.config_hash())
+    unknown = set(engines) - {"minhash", "simhash", "substring"}
+    if unknown:
+        raise ValueError(f"unknown engines: {unknown}")
+    # engine selection participates in the stage-invalidation hash: a resume
+    # must never reuse candidate_edges computed under a different engine set
+    config_hash = f"{cfg.config_hash()}-{'+'.join(sorted(engines))}"
+    cat = StageCatalog(spark, workdir, config_hash)
     out: dict[str, DataFrame] = {}
 
     # Stage 1: extraction + per-page metadata ------------------------------
@@ -101,27 +115,73 @@ def run_pipeline(
                                        "non_deduplicable": int(counters["nulls"])})
     out["signatures"] = sigs
 
-    # Stage 3: LSH banding + candidate join + exact verify ----------------
+    # Stage 3: per-engine candidates + verify + provenance union ----------
     if resume and cat.is_complete("candidate_edges"):
         edges = cat.read("candidate_edges")
     else:
-        bands = band_table(sigs, cfg)
-        cands = candidate_pairs(
-            bands, cfg,
-            star_reduce_threshold=cfg.band_bucket_cap if star_reduce else None,
+        per_engine = []
+        if "minhash" in engines:
+            bands = band_table(sigs, cfg)
+            cands = candidate_pairs(
+                bands, cfg,
+                star_reduce_threshold=cfg.band_bucket_cap if star_reduce else None,
+            )
+            verified = verify_candidates(
+                cands, corpus, id_col="url", text_col="text",
+                threshold=cfg.jaccard_threshold, shingle_k=cfg.shingle_k,
+            )
+            per_engine.append(
+                verified.select(
+                    "src", "dst",
+                    F.col("jaccard").alias("score"),
+                    F.lit(
+                        f"minhash-lsh:k{cfg.shingle_k}p{cfg.num_perms}b{cfg.lsh_bands}"
+                    ).alias("rule"),
+                )
+            )
+        if "simhash" in engines:
+            from ..operators.simhash import hamming_pairs, with_simhash
+
+            sim = with_simhash(corpus, cfg, id_col="url", text_col="text")
+            hp = hamming_pairs(sim, cfg)
+            per_engine.append(
+                hp.select(
+                    "src", "dst",
+                    (1 - F.col("hamming") / F.lit(cfg.simhash_bits)).alias("score"),
+                    F.lit(f"simhash:hd{cfg.hamming_max}b{cfg.simhash_bits}").alias("rule"),
+                )
+            )
+        if "substring" in engines:
+            from ..operators.substring import containment_pairs
+
+            cp = containment_pairs(
+                corpus, id_col="url", text_col="text",
+                min_tokens=cfg.substring_min_tokens, shingle_k=cfg.shingle_k,
+            )
+            per_engine.append(
+                cp.select(
+                    F.least("inner", "outer").alias("src"),
+                    F.greatest("inner", "outer").alias("dst"),
+                    F.lit(1.0).alias("score"),
+                    F.lit(f"substring-containment:min{cfg.substring_min_tokens}").alias("rule"),
+                )
+            )
+        union = per_engine[0]
+        for e in per_engine[1:]:
+            union = union.unionByName(e)
+        # P11/A5: per-pair sorted rule union (documentsManager.js:292-298);
+        # score = best evidence across engines
+        edges = (
+            union.groupBy("src", "dst")
+            .agg(
+                F.array_sort(F.collect_set("rule")).alias("rules"),
+                F.max("score").alias("score"),
+            )
+            .withColumn("session", F.lit(cfg.session_name))
         )
-        verified = verify_candidates(
-            cands, corpus, id_col="url", text_col="text",
-            threshold=cfg.jaccard_threshold, shingle_k=cfg.shingle_k,
-        )
-        # P11 rule provenance: every edge carries the names of the rules
-        # (engines/configs) that produced it, unioned per pair (A5).
-        edges = verified.withColumn(
-            "rules",
-            F.array(F.lit(f"minhash-lsh:k{cfg.shingle_k}p{cfg.num_perms}b{cfg.lsh_bands}")),
-        ).withColumn("engine", F.lit("minhash"))
         edges = cat.write("candidate_edges", edges)
-        cat.log_lineage("candidate_edges", {"rows_out": cat.manifest("candidate_edges")["rows"]})
+        cat.log_lineage("candidate_edges", {"rows_out": cat.manifest("candidate_edges")["rows"],
+                                            "engines": list(engines)})
     out["candidate_edges"] = edges
 
     # Stage 4: connected components ---------------------------------------
