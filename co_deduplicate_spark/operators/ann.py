@@ -82,10 +82,12 @@ def bucketed_ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket. Trades recall for a candidate set ~n/2^planes per query."""
-    sigs = hyperplane_signature(embeddings, n_planes, seed, dim, id_col, vec_col)
-    with_bucket = embeddings.join(sigs, embeddings[id_col] == sigs["vec_id"]).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"), "bucket"
+    sigs = hyperplane_signature(embeddings, n_planes, seed, dim, id_col, vec_col).select(
+        F.col("vec_id").alias("_sig_id"), "bucket"
     )
+    with_bucket = embeddings.join(
+        sigs, embeddings[id_col] == sigs["_sig_id"]
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"), "bucket")
     queries = with_bucket.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket").alias("qb")
     )
@@ -94,7 +96,14 @@ def bucketed_ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             F.broadcast(queries),
             (F.col("bucket") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id", F.round(cosine_expr(F.col("q"), F.col("v")), 6).alias("cos_sim"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine_expr(F.col("q"), F.col("v")) * 1_000_000).cast("long").alias("cos_micro"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_micro", "rank")
+    )

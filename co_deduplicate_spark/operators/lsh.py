@@ -57,6 +57,13 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
     candidate set). With a threshold t, buckets of size > t emit only
     (bucket_min, member) star edges — see module docstring.
     """
+    # Materialize the band table before self-joining: the physical plan
+    # otherwise expands the upstream (including the Arrow signature UDF)
+    # once per join side — and struct-field extraction can double the UDF
+    # eval again (observed 4× signature computation in explain()). The
+    # band table is 3 narrow columns × (docs × bands) — cheap to hold.
+    bands = bands.localCheckpoint()
+
     # Codegen'd shuffle-hash self-join on the band key. (A groupBy +
     # collect_set + in-bucket pair expansion was measured 2× slower here:
     # millions of mostly-singleton buckets make the object-heavy aggregate
