@@ -57,12 +57,15 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
     candidate set). With a threshold t, buckets of size > t emit only
     (bucket_min, member) star edges — see module docstring.
     """
-    # Materialize the band table before self-joining: the physical plan
-    # otherwise expands the upstream (including the Arrow signature UDF)
-    # once per join side — and struct-field extraction can double the UDF
-    # eval again (observed 4× signature computation in explain()). The
-    # band table is 3 narrow columns × (docs × bands) — cheap to hold.
-    bands = bands.localCheckpoint()
+    # The self-join expands the upstream once per side; if the band plan
+    # still contains the Arrow signature UDF (ad-hoc composition, no stage
+    # table in between), that means 4× Python signature computation
+    # (observed in explain(): 2 sides × struct-field double-eval).
+    # Materialize in that case only — when bands derive from an already
+    # materialized signatures table (the checkpointed pipeline), an extra
+    # 19M-row localCheckpoint is pure cost.
+    if "EvalPython" in bands._jdf.queryExecution().executedPlan().toString():
+        bands = bands.localCheckpoint()
 
     # Codegen'd shuffle-hash self-join on the band key. (A groupBy +
     # collect_set + in-bucket pair expansion was measured 2× slower here:

@@ -1,0 +1,127 @@
+"""Per-record enriched view — the reference's final document state.
+
+The reference's cluster rewrite (painless/updateDuplicatesGraph.painless,
+applied at /root/reference/src/documentsManager.js:309-330) leaves every
+affected document with:
+
+  business.duplicates      adjacency list: {sourceUid, source, sessionName,
+                           rules[]} per neighbor (duplicatesFixtures.js:4-11)
+  business.duplicateRules  sorted union of rule names (documentsManager.js:292-298)
+  business.sourceUidChain  '!'-joined sorted cluster member ids (287-289)
+  business.sources         sorted distinct member sources (288)
+  business.isDuplicate     duplicates non-empty (painless 216-218)
+  business.isDeduplicable  record produced at least one applicable rule
+                           (index.js:45-49)
+  business.hasTransDuplicate  some member is reachable only transitively —
+                           i.e. a cluster member that is NOT a direct
+                           neighbor (painless 216-218: duplicates entries
+                           with empty rules)
+
+This module computes the same view as one batch join of the pipeline's
+stage tables (labels + edges + corpus) — the declarative equivalent of the
+server-side script. A9 existence predicates (helpers.js:120-149) fall out
+as column expressions over the assembled arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
+                  signatures: DataFrame | None = None) -> DataFrame:
+    """Assemble the per-record business view.
+
+    corpus: (url, source, session, ...); labels: (node, component);
+    edges: (src, dst, rules, session); signatures: (doc, minhash, ...) —
+    NULL minhash ⇒ not deduplicable (optional; default everyone deduplicable).
+    """
+    # direct neighbors with provenance, both directions (the reference's
+    # adjacency list is symmetric: each member stores its own copy)
+    fwd = edges.select(F.col("src").alias("url"), F.col("dst").alias("nbr"),
+                       "rules", "session")
+    rev = edges.select(F.col("dst").alias("url"), F.col("src").alias("nbr"),
+                       "rules", "session")
+    nbrs = fwd.unionByName(rev)
+
+    member_of = labels.select(F.col("node").alias("url"), "component")
+    cluster_members = (
+        member_of.groupBy("component")
+        .agg(
+            F.array_sort(F.collect_set("url")).alias("members"),
+        )
+    )
+
+    direct = nbrs.groupBy("url").agg(
+        F.collect_list(F.struct("nbr", "rules", "session")).alias("_direct"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("rules")))).alias("duplicateRules"),
+    )
+
+    src_of = corpus.select("url", "source", F.col("session").alias("own_session"))
+    base = (
+        member_of.join(cluster_members, "component")
+        .join(direct, "url", "left")
+        .join(src_of, "url", "left")
+    )
+    member_sources = (
+        member_of.join(src_of, "url")
+        .groupBy("component")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+    )
+    base = base.join(member_sources, "component", "left")
+
+    direct_nbr_urls = F.transform(F.coalesce(F.col("_direct"), F.array()), lambda d: d["nbr"])
+    # duplicates = every other cluster member; direct neighbors keep their
+    # rules, transitive members appear with empty rules (painless 198-211:
+    # "new members added without rules" on non-queried docs)
+    duplicates = F.filter(
+        F.concat(
+            F.coalesce(F.col("_direct"), F.array()),
+            F.transform(
+                F.array_except(F.col("members"), F.array_union(direct_nbr_urls, F.array(F.col("url")))),
+                lambda m: F.struct(
+                    m.alias("nbr"),
+                    F.array().cast("array<string>").alias("rules"),
+                    F.lit(None).cast("string").alias("session"),
+                ),
+            ),
+        ),
+        lambda d: d["nbr"] != F.col("url"),
+    )
+
+    out = base.select(
+        "url",
+        F.col("component").alias("cluster_id"),
+        F.concat(F.lit("!"), F.concat_ws("!", F.col("members")), F.lit("!")).alias("sourceUidChain"),
+        F.coalesce(F.col("sources"), F.array()).alias("sources"),
+        duplicates.alias("duplicates"),
+        F.coalesce(F.col("duplicateRules"), F.array().cast("array<string>")).alias("duplicateRules"),
+        F.col("own_session"),
+    )
+    out = out.withColumn("isDuplicate", F.size("duplicates") > 0)
+    # A9 predicates (helpers/deduplicates/helpers.js:120-149)
+    out = out.withColumn(
+        "hasTransDuplicate",
+        F.exists(F.col("duplicates"), lambda d: F.size(d["rules"]) == 0),
+    )
+    if signatures is not None:
+        dedupable = signatures.select(
+            F.col("doc").alias("url"), F.col("minhash").isNotNull().alias("isDeduplicable")
+        )
+        out = out.join(dedupable, "url", "left").fillna({"isDeduplicable": True})
+    else:
+        out = out.withColumn("isDeduplicable", F.lit(True))
+    return out
+
+
+def has_duplicate_from_other_session(view: DataFrame, current_session: str):
+    """A9: exists(duplicates, d -> d.sessionName != current)
+    (helpers.js:127-135)."""
+    return view.withColumn(
+        "hasDuplicateFromOtherSession",
+        F.exists(
+            F.col("duplicates"),
+            lambda d: d["session"].isNotNull() & (d["session"] != current_session),
+        ),
+    )
