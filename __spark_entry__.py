@@ -282,6 +282,49 @@ def q_rule_based_pairs(spark, sf_dir):
     return pairs.select("src", "dst", F.concat_ws(",", F.col("rules")).alias("rules"))
 
 
+def q_rule_scenario_pairs(spark, sf_dir):
+    """P2/P5/P6/P7/P8/P9/P14: the full rule-config surface in one query —
+    genre scenario dispatch + genre guard, an OR-alternative rule
+    (fp_head | fp_tail), an array-overlap rule (prefix shingles) with
+    candidate-side is_empty (no digits), and quality-flag gating (records
+    with n_chars % 7 == 0 have their `lang` field flagged as ignored)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"), fold=ASCII_FOLD)
+    head10 = F.slice(toks, 1, 10)
+    sh_head = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(head10) - 3, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(head10, i + 1, 3)),
+            ),
+            lambda s: s != "",
+        )
+    )
+    derived = {
+        "genre": F.col("lang"),
+        "fp": F.md5(norm_expr(F.col("text"), fold=ASCII_FOLD)),
+        "fp_head": F.md5(F.concat_ws(" ", F.slice(toks, 1, 12))),
+        "fp_tail": F.md5(
+            F.concat_ws(" ", F.slice(toks, F.greatest(F.size(toks) - 11, F.lit(1)), 12))
+        ),
+        "sh_head": sh_head,
+        "digits": F.regexp_replace(F.col("text"), "[^0-9]", ""),
+        "flags": F.when(
+            F.pmod(F.col("n_chars"), F.lit(7)) == 0, F.array(F.lit("lang"))
+        ).otherwise(F.array().cast("array<string>")),
+    }
+    rules = [
+        Rule("1ID:head|tail", keys=(("fp_head", "fp_tail"),),
+             non_empty=("text", "lang"), genres=("en", "es")),
+        Rule("2Collation:prefix_shingles", array_keys=("sh_head",),
+             non_empty=("text",), is_empty=("digits",), genres=("en", "fr")),
+        Rule("3ID:fingerprint", keys=("fp",), non_empty=("text",)),
+    ]
+    pairs = rule_pairs(docs, rules, derived, id_col="doc_id",
+                       genre_col="genre", flags_col="flags")
+    return pairs.select("src", "dst", F.concat_ws(",", F.col("rules")).alias("rules"))
+
+
 def q_containment_pairs(spark, sf_dir):
     """Engine 3: full-document token-sequence containment."""
     return containment_pairs(
@@ -406,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_values": q_simhash_values,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "rule_based_pairs": q_rule_based_pairs,
+        "rule_scenario_pairs": q_rule_scenario_pairs,
         "containment_pairs": q_containment_pairs,
         "dedup_keep_first": q_dedup_keep_first,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -512,6 +556,52 @@ def oracle_sql() -> dict[str, str]:
               FROM base a JOIN base b ON a.tok12 = b.tok12 AND a.doc_id < b.doc_id
               WHERE length(trim(a.text)) > 0 AND length(trim(b.text)) > 0
                 AND length(a.tok12) > 0 AND length(b.tok12) > 0),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+            SELECT src, dst, string_agg(DISTINCT rule, ',' ORDER BY rule) AS rules
+            FROM u GROUP BY src, dst
+        """,
+        "rule_scenario_pairs": f"""
+            WITH toks AS ({_SQL_TOKS}),
+            base AS (
+              SELECT d.doc_id AS doc, d.lang AS genre, d.n_chars,
+                     md5({_SQL_NORM}) AS fp,
+                     md5(array_to_string(t.ts[1:12], ' ')) AS fp_head,
+                     md5(array_to_string(
+                       t.ts[greatest(len(t.ts) - 11, 1):greatest(len(t.ts) - 11, 1) + 11],
+                       ' ')) AS fp_tail,
+                     list_distinct(list_filter(list_transform(
+                       range(0, greatest(len(t.ts[1:10]) - 2, 1)),
+                       i -> array_to_string(t.ts[1:10][i+1:i+3], ' ')),
+                       s -> s != '')) AS sh_head,
+                     regexp_replace(d.text, '[^0-9]', '', 'g') AS digits
+              FROM documents d JOIN toks t ON t.doc_id = d.doc_id),
+            -- r1: OR-alternative conjunct (P7) + quality-flag gate (P14: the
+            -- record whose n_chars % 7 = 0 has `lang` ignored, so at least one
+            -- direction must be unflagged) + genre dispatch en/es (P2) + guard (P8)
+            r1 AS (
+              SELECT least(a.doc, b.doc) AS src, greatest(a.doc, b.doc) AS dst,
+                     '1ID:head|tail' AS rule
+              FROM base a JOIN base b
+                ON a.genre = b.genre AND a.doc < b.doc
+               AND (a.fp_head = b.fp_head OR a.fp_tail = b.fp_tail)
+              WHERE a.genre IN ('en', 'es')
+                AND (a.n_chars % 7 <> 0 OR b.n_chars % 7 <> 0)),
+            -- r2: array-overlap key (P5/P6) + candidate-side is_empty (P9:
+            -- either direction's candidate must be digit-free) + genre en/fr
+            r2 AS (
+              SELECT least(a.doc, b.doc) AS src, greatest(a.doc, b.doc) AS dst,
+                     '2Collation:prefix_shingles' AS rule
+              FROM base a JOIN base b
+                ON a.genre = b.genre AND a.doc < b.doc
+               AND len(list_intersect(a.sh_head, b.sh_head)) > 0
+              WHERE a.genre IN ('en', 'fr')
+                AND (a.digits = '' OR b.digits = '')),
+            -- r3: plain scalar rule, all genres, still genre-guarded (P8)
+            r3 AS (
+              SELECT least(a.doc, b.doc) AS src, greatest(a.doc, b.doc) AS dst,
+                     '3ID:fingerprint' AS rule
+              FROM base a JOIN base b
+                ON a.genre = b.genre AND a.fp = b.fp AND a.doc < b.doc),
             u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
             SELECT src, dst, string_agg(DISTINCT rule, ',' ORDER BY rule) AS rules
             FROM u GROUP BY src, dst

@@ -11,21 +11,48 @@ columns*; the union of per-rule joins with collected rule names gives the
 per-pair provenance the reference gets from ES ``matched_queries``
 (deduplicateQueryBuilder.js:56-67 → documentsManager.js:292-298).
 
-Semantics implemented (and divergences, all from SURVEY.md §2.2):
-  * P1 applicability gate: a rule is skipped *for a record* when any
-    ``non_empty`` field is null/blank — expressed as join-side filters.
-  * P8 genre guard: a ``genre`` key can be appended to every rule.
-  * P9 ``is_empty``: we implement the *intended* behavior (candidate must
-    lack the field). The reference's builder has two bugs that make its
-    emitted must_not always empty (deduplicateQueryBuilder.js:46,140) —
-    we do NOT replicate them.
-  * P10 self-exclusion + canonical pair order (src < dst).
-  * P11 provenance: per-pair sorted rule-name list (A5 union semantics).
+Execution model (scale-first): every rule is expanded into a union of FLAT
+equi-join *variants* so blocking is always a shuffle-hash join on concrete
+key columns — never a theta-join:
+
+  * P7 OR-alternatives inside a conjunct (deduplicateQueryBuilder.js:109-131,
+    e.g. ``xissn OR host.title``): a key conjunct may be a tuple of
+    alternative column names; the rule is expanded into the cross product
+    of alternative choices (key-space duplication), one equi-join each.
+  * P5/P6 array-valued keys (deduplicateQueryBuilder.js:89-107, e.g.
+    ``language``, ``isni``): array columns are exploded on BOTH sides and
+    joined on the element — "any element in common" ≡ the reference's
+    per-element ``should`` with ``minimum_should_match:1``. We implement
+    the *intended* semantics of P6 (the reference's array-``term`` branch
+    has a TypeError bug at builder line 101-102 — not replicated).
+  * P2 scenario dispatch (deduplicateQueryBuilder.js:10-18): a rule with a
+    non-empty ``genres`` tuple is considered only for records whose genre
+    is in it.
+  * P8 genre guard (deduplicateQueryBuilder.js:134-136): when the record
+    has a non-empty genre, the candidate must match it (extra join key);
+    records without a genre query unguarded — implemented as a second
+    join branch.
+  * P14 ``_ignored`` gating (documentsManager.js:206-218 consumed at
+    deduplicateQueryBuilder.js:36-38): a ``flags_col`` lists field names
+    whose values failed quality checks; a rule is skipped *as record* when
+    any of its ``non_empty`` fields is flagged.
+  * P9 ``is_empty`` — implemented with the *intended*, directional
+    semantics: the CANDIDATE side must lack the field. (The reference's
+    builder has two bugs making its emitted must_not always empty,
+    deduplicateQueryBuilder.js:46,140 — not replicated. Round 1 applied
+    the filter to both sides; that was stricter than intended and is fixed
+    here.)
+  * P1 applicability gate / P10 self-exclusion / P11 provenance as before.
+
+Directionality: the reference matches record → candidates; batch runs every
+doc as a record, so a pair (x, y) is emitted when either direction
+matches, then canonicalized to (src=min, dst=max) and distinct-ed.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from itertools import product
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -33,13 +60,24 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Rule:
-    """One named equality rule: pairs match when every key expression is
-    equal (and non-degenerate) on both sides."""
+    """One named rule: a conjunction of key conjuncts plus gates.
+
+    ``keys`` entries: a column name (scalar equality) or a tuple of column
+    names (P7 OR-alternatives — any one alternative equal on both sides).
+    ``array_keys``: array<string> columns matched by overlap (P5/P6).
+    ``non_empty``: string columns that must be present on the RECORD side
+    (P1 gate) and not listed in the record's quality flags (P14).
+    ``is_empty``: string columns that must be absent on the CANDIDATE side
+    (P9 intended semantics).
+    ``genres``: scenario dispatch (P2) — () means the rule applies to all.
+    """
 
     name: str
-    keys: tuple[str, ...]                 # derived key column names (conjunction)
-    non_empty: tuple[str, ...] = ()       # raw columns that must be present
-    is_empty: tuple[str, ...] = ()        # raw columns that must be absent on BOTH sides
+    keys: tuple = ()
+    array_keys: tuple[str, ...] = ()
+    non_empty: tuple[str, ...] = ()
+    is_empty: tuple[str, ...] = ()
+    genres: tuple[str, ...] = ()
 
 
 def _present(col: str) -> Column:
@@ -47,36 +85,80 @@ def _present(col: str) -> Column:
     return c.isNotNull() & (F.length(F.trim(c.cast("string"))) > 0)
 
 
+def _variants(rule: Rule) -> list[tuple[str, ...]]:
+    """P7 key-space duplication: cross product of alternative choices."""
+    arms = [(k,) if isinstance(k, str) else tuple(k) for k in rule.keys]
+    return [tuple(v) for v in product(*arms)] if arms else [()]
+
+
 def rule_pairs(docs: DataFrame, rules: list[Rule], derived: dict[str, Column],
-               id_col: str = "doc_id") -> DataFrame:
-    """Union of per-rule self-joins → (src, dst, rules array<string>).
+               id_col: str = "doc_id", genre_col: str | None = None,
+               flags_col: str | None = None) -> DataFrame:
+    """Union of per-rule directed joins → (src, dst, rules array<string>).
 
     ``derived`` maps key-column name → Column expression (the analogue of
     the reference's index-time normalizers, README.md:30-45: normalize
-    once, join many).
+    once, join many). ``genre_col``/``flags_col`` name derived or raw
+    columns carrying the P2/P8 genre and the P14 ignore list.
     """
-    base = docs.select(F.col(id_col).alias("doc"), *[expr.alias(k) for k, expr in derived.items()],
-                       *[F.col(c) for c in {c for r in rules for c in (*r.non_empty, *r.is_empty)}
-                         if c not in derived])
+    raw_needed = {c for r in rules for c in (*r.non_empty, *r.is_empty)} - set(derived)
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        *[expr.alias(k) for k, expr in derived.items()],
+        *[F.col(c) for c in sorted(raw_needed)],
+    )
 
     per_rule = []
     for rule in rules:
-        side = base
+        record = base
+        if rule.genres and genre_col:
+            record = record.filter(F.col(genre_col).isin(list(rule.genres)))
         for c in rule.non_empty:
-            side = side.filter(_present(c))
+            record = record.filter(_present(c))
+            if flags_col:
+                # P14: the record's own flagged fields count as absent
+                record = record.filter(~F.array_contains(F.col(flags_col), F.lit(c)))
+        cand = base
         for c in rule.is_empty:
-            side = side.filter(~_present(c))
-        # degenerate keys (null/empty) never match
-        for k in rule.keys:
-            side = side.filter(F.col(k).isNotNull() & (F.length(F.col(k).cast("string")) > 0))
-        a = side.select(F.col("doc").alias("src"), *[F.col(k) for k in rule.keys])
-        b = side.select(F.col("doc").alias("dst"), *[F.col(k) for k in rule.keys])
-        pairs = (
-            a.join(b, list(rule.keys))
-            .filter(F.col("src") < F.col("dst"))
-            .select("src", "dst", F.lit(rule.name).alias("rule"))
-        )
-        per_rule.append(pairs)
+            cand = cand.filter(~_present(c))
+
+        for variant in _variants(rule):
+            rec_v, cand_v = record, cand
+            join_keys = list(variant)
+            for k in variant:  # degenerate scalar keys never match
+                nz = F.col(k).isNotNull() & (F.length(F.col(k).cast("string")) > 0)
+                rec_v, cand_v = rec_v.filter(nz), cand_v.filter(nz)
+            for ak in rule.array_keys:  # P5/P6: explode → element equi-join
+                el = f"_{ak}_el"
+                rec_v = rec_v.withColumn(el, F.explode(ak))
+                cand_v = cand_v.withColumn(el, F.explode(ak))
+                join_keys.append(el)
+
+            def directed(rec_side: DataFrame, keys: list[str]) -> DataFrame:
+                a = rec_side.select(F.col("doc").alias("_r"), *[F.col(k) for k in keys])
+                b = cand_v.select(F.col("doc").alias("_c"), *[F.col(k) for k in keys])
+                return (
+                    a.join(b, keys)
+                    .filter(F.col("_r") != F.col("_c"))  # P10
+                    .select(
+                        F.least("_r", "_c").alias("src"),
+                        F.greatest("_r", "_c").alias("dst"),
+                    )
+                )
+
+            if genre_col:
+                # P8 guard: genre-carrying records add genre to the join key;
+                # genre-less records query unguarded (builder line 134-136
+                # only appends the conjunct for non-empty genre strings)
+                branches = [
+                    directed(rec_v.filter(_present(genre_col)), join_keys + [genre_col])
+                ]
+                genreless = rec_v.filter(~_present(genre_col))
+                branches.append(directed(genreless, join_keys))
+                pairs = branches[0].unionByName(branches[1])
+            else:
+                pairs = directed(rec_v, join_keys)
+            per_rule.append(pairs.distinct().withColumn("rule", F.lit(rule.name)))
 
     edges = per_rule[0]
     for p in per_rule[1:]:
