@@ -74,6 +74,26 @@ FROM ipairs JOIN sizes sa ON sa.doc_id = src JOIN sizes sb ON sb.doc_id = dst
 WHERE (cnt * 1000000) // (sa.n + sb.n - cnt) >= {JACCARD_PPM}
 """
 
+# IVF assignment mirror (operators/ann.py determinism contract): integer-
+# quantized vectors (round(x*1e6)) whose dot products are exact in float64,
+# centroids = the 32 lowest vec_ids, cosm = micro-cosine to each centroid,
+# rn = probe rank (1 = assignment bucket)
+_SQL_IVF = """
+ei AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[], x -> round(x * 1000000)) AS vi,
+              embedding::DOUBLE[] AS v
+       FROM embeddings),
+cent AS (SELECT vec_id AS cid, vi AS ci, sqrt(list_dot_product(vi, vi)) AS cnorm
+         FROM ei WHERE vec_id < 32),
+vc AS (SELECT e.vec_id, c.cid,
+              CAST(round(1000000 * list_dot_product(e.vi, c.ci)
+                   / (sqrt(list_dot_product(e.vi, e.vi)) * c.cnorm)) AS BIGINT) AS cosm
+       FROM ei e CROSS JOIN cent c),
+ranked AS (SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) AS rn
+           FROM vc)
+"""
+
 _SQL_SIMHASH = f"""
 toks AS ({_SQL_TOKS}),
 shs AS ({_SQL_SHINGLES3}),
@@ -343,29 +363,38 @@ def q_dedup_keep_first(spark, sf_dir):
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact brute-force baseline;
-    the LSH-bucketed variant is operators/ann.py::bucketed_ann_topk).
-    Threshold 0.40: the synthetic embeddings have no pairs above ~0.6."""
-    from co_deduplicate_spark.operators.ann import cosine_expr
+    """Embedding-cosine near-duplicate pairs on the IVF scale path:
+    candidates share one of each side's 4 nearest of 32 seed centroids
+    (equi-join on centroid_id — never an all-pairs product), exact cosine
+    filter >= 0.40 after. The oracle mirrors the same bucketing; recall vs
+    the exact brute-force pair set (0.80-0.89 measured at sf0.001/sf0.01 —
+    the 0.40 threshold is a ~66° angle, inherently hard for bucketing) is
+    asserted in tests/test_ann.py."""
+    from co_deduplicate_spark.operators.ann import ivf_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("src") < F.col("dst"))
-        .select(
-            "src", "dst",
-            F.round(cosine_expr(F.col("va"), F.col("vb")) * 1_000_000).cast("long").alias("cos_micro"),
-        )
-        .filter(F.col("cos_micro") >= 400_000)
+    return ivf_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold_micro=400_000,
+        n_centroids=32, n_probes=4,
     )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    """Brute-force exact cosine top-10 for query vectors vec_id < 20."""
+    """Brute-force exact cosine top-10 for query vectors vec_id < 20 (the
+    exact baseline the IVF path is measured against)."""
     emb = _t(spark, sf_dir, "embeddings")
     qids = [r["vec_id"] for r in emb.select("vec_id").filter(F.col("vec_id") < 20).collect()]
     return cosine_topk(emb, qids, k=10)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10 (graded scale path): Arrow-matmul centroid
+    assignment, 4-of-32 probe, exact rescoring. Deterministic across
+    engines via integer-quantized assignment (operators/ann.py)."""
+    from co_deduplicate_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [r["vec_id"] for r in emb.select("vec_id").filter(F.col("vec_id") < 20).collect()]
+    return ivf_topk(emb, qids, k=10, n_centroids=32, n_probes=4)
 
 
 def q_events_top_type(spark, sf_dir):
@@ -454,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "events_top_type": q_events_top_type,
         "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
@@ -628,16 +658,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5({_SQL_NORM})
         """,
-        "embedding_dup_pairs": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS src, b.vec_id AS dst,
-                   CAST(ROUND(list_dot_product(a.v, b.v)
-                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                        * 1000000) AS BIGINT) AS cos_micro
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE CAST(ROUND(list_dot_product(a.v, b.v)
-                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                        * 1000000) AS BIGINT) >= 400000
+        "embedding_dup_pairs": f"""
+            WITH {_SQL_IVF}
+            , probed AS (SELECT vec_id, cid FROM ranked WHERE rn <= 4),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+              FROM probed a JOIN probed b USING (cid)
+              WHERE a.vec_id < b.vec_id),
+            s AS (
+              SELECT c.src, c.dst,
+                     CAST(ROUND(list_dot_product(x.v, y.v)
+                          / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+                          * 1000000) AS BIGINT) AS cos_micro
+              FROM cand c JOIN ei x ON x.vec_id = c.src JOIN ei y ON y.vec_id = c.dst)
+            SELECT src, dst, cos_micro FROM s WHERE cos_micro >= 400000
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_SQL_IVF}
+            , asn AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid FROM ranked
+                       WHERE rn <= 4 AND vec_id < 20),
+            cand AS (
+              SELECT p.query_id, a.neighbor_id
+              FROM probes p JOIN asn a USING (cid)
+              WHERE a.neighbor_id <> p.query_id),
+            s AS (
+              SELECT c.query_id, c.neighbor_id,
+                     CAST(ROUND(list_dot_product(q.v, n.v)
+                          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+                          * 1000000) AS BIGINT) AS cos_micro
+              FROM cand c JOIN ei q ON q.vec_id = c.query_id JOIN ei n ON n.vec_id = c.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, cos_micro,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos_micro DESC, neighbor_id)::INTEGER AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, cos_micro, rank FROM r WHERE rank <= 10
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

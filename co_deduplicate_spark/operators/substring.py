@@ -45,10 +45,12 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     ).withColumn("n", F.size("toks"))
 
     shingle_of = lambda start: F.concat_ws(" ", F.slice(F.col("toks"), start, shingle_k))  # noqa: E731
-    # container side: all shingles
+    # container side: (id, anchor) ONLY — never the document string. The
+    # exploded relation is O(tokens) narrow rows per doc; carrying the full
+    # text here would make shuffle volume O(doc_len²) per document (a
+    # 10k-token page would emit 10k copies of a ~60 KB string).
     containers = seqs.filter(F.col("n") >= shingle_k).select(
         F.col("doc").alias("outer"),
-        F.col("tstr").alias("outer_str"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.col("n") - shingle_k),
@@ -56,16 +58,24 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             )
         ).alias("anchor"),
     ).distinct()
-    # contained side: first shingle only
+    # contained side: first shingle only, ids again
     inners = seqs.filter(F.col("n") >= min_tokens).select(
-        F.col("doc").alias("inner"), F.col("tstr").alias("inner_str"), shingle_of(1).alias("anchor")
+        F.col("doc").alias("inner"), shingle_of(1).alias("anchor")
     )
-    return (
+    cand_ids = (
         inners.join(containers, "anchor")
         .filter(F.col("inner") != F.col("outer"))
-        .filter(F.col("outer_str").contains(F.col("inner_str")))
         .select("inner", "outer")
         .distinct()
+    )
+    # verification: re-join the two strings by id (one narrow row per
+    # candidate pair) and run a single JVM contains()
+    strs = seqs.select("doc", "tstr")
+    return (
+        cand_ids.join(strs.select(F.col("doc").alias("inner"), F.col("tstr").alias("inner_str")), "inner")
+        .join(strs.select(F.col("doc").alias("outer"), F.col("tstr").alias("outer_str")), "outer")
+        .filter(F.col("outer_str").contains(F.col("inner_str")))
+        .select("inner", "outer")
     )
 
 
