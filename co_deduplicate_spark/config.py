@@ -42,6 +42,11 @@ class DedupConfig:
     # --- skew control ---
     band_bucket_cap: int = 2000   # pairs per LSH bucket before salted split kicks in
     salt_buckets: int = 16
+    # clusters larger than this never materialize a member list / chain
+    # string (a boilerplate mega-cluster would OOM one reducer and produce a
+    # multi-GB chain); they get a placeholder chain + truncated=true, and
+    # the capped count is logged to lineage (no silent truncation)
+    chain_max_members: int = 10_000
 
     # --- session semantics (reference: technical.sessionName) ---
     session_name: str = "batch-0"

@@ -74,6 +74,31 @@ def salted_collect_set(df: DataFrame, keys: list[str], value_col: str,
     )
 
 
+def salted_collect_sets(df: DataFrame, keys: list[str], value_cols: list[str],
+                        disambiguator: Column, n_salts: int = 16) -> DataFrame:
+    """Multi-column :func:`salted_collect_set` in ONE two-stage aggregation:
+    per key, ``set_<col> = array_sort(collect_set(col))`` for every value
+    column plus a ``count`` of input rows. This is the cluster-aggregate
+    workhorse (pipeline stage 5 / business view): a mega-cluster's members
+    spread over ``n_salts`` partial reducers instead of funnelling into one.
+    """
+    partial = (
+        with_salt(df, disambiguator, n_salts)
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[F.collect_set(c).alias(f"_p_{c}") for c in value_cols],
+            F.count(F.lit(1)).alias("_p_n"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(f"_p_{c}")))).alias(f"set_{c}")
+            for c in value_cols
+        ],
+        F.sum("_p_n").alias("count"),
+    )
+
+
 def broadcast_salted_join(big: DataFrame, small: DataFrame, key: str,
                           n_salts: int = 16) -> DataFrame:
     """Static skew-join fallback for when AQE is unavailable: replicate the

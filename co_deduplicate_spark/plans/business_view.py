@@ -28,14 +28,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.skew import salted_collect_sets
+
 
 def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
-                  signatures: DataFrame | None = None) -> DataFrame:
+                  signatures: DataFrame | None = None, n_salts: int = 16,
+                  max_members_inline: int | None = None) -> DataFrame:
     """Assemble the per-record business view.
 
     corpus: (url, source, session, ...); labels: (node, component);
     edges: (src, dst, rules, session); signatures: (doc, minhash, ...) —
     NULL minhash ⇒ not deduplicable (optional; default everyone deduplicable).
+
+    Skew: cluster-level member/source sets go through salted two-stage
+    aggregation (operators/skew.py). ``max_members_inline`` caps the
+    per-record transitive fill: records in clusters larger than the cap
+    keep only DIRECT neighbors in ``duplicates`` (plus a placeholder
+    sourceUidChain and ``truncated=true``) — the reference materializes the
+    full adjacency per doc (painless 198-211), which is O(size²) rows per
+    cluster and cannot be allowed for boilerplate mega-clusters at 100 TB.
+    Default None preserves exact reference semantics.
     """
     # direct neighbors with provenance, both directions (the reference's
     # adjacency list is symmetric: each member stores its own copy)
@@ -46,11 +58,15 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
     nbrs = fwd.unionByName(rev)
 
     member_of = labels.select(F.col("node").alias("url"), "component")
-    cluster_members = (
-        member_of.groupBy("component")
-        .agg(
-            F.array_sort(F.collect_set("url")).alias("members"),
-        )
+    src_of = corpus.select("url", "source", F.col("session").alias("own_session"))
+    cluster_agg = salted_collect_sets(
+        member_of.join(src_of.select("url", "source"), "url", "left"),
+        ["component"], ["url", "source"], F.col("url"), n_salts,
+    ).select(
+        "component",
+        F.col("set_url").alias("members"),
+        F.col("set_source").alias("sources"),
+        F.col("count").alias("_csize"),
     )
 
     direct = nbrs.groupBy("url").agg(
@@ -58,18 +74,22 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("rules")))).alias("duplicateRules"),
     )
 
-    src_of = corpus.select("url", "source", F.col("session").alias("own_session"))
     base = (
-        member_of.join(cluster_members, "component")
+        member_of.join(cluster_agg, "component")
         .join(direct, "url", "left")
         .join(src_of, "url", "left")
     )
-    member_sources = (
-        member_of.join(src_of, "url")
-        .groupBy("component")
-        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+
+    truncated = (
+        (F.col("_csize") > max_members_inline) if max_members_inline is not None
+        else F.lit(False)
     )
-    base = base.join(member_sources, "component", "left")
+    members_eff = F.when(truncated, F.array(F.col("url"))).otherwise(F.col("members"))
+    chain = F.when(
+        truncated,
+        F.concat(F.lit("!truncated:"), F.col("component"), F.lit(":"),
+                 F.col("_csize"), F.lit("!")),
+    ).otherwise(F.concat(F.lit("!"), F.concat_ws("!", F.col("members")), F.lit("!")))
 
     direct_nbr_urls = F.transform(F.coalesce(F.col("_direct"), F.array()), lambda d: d["nbr"])
     # duplicates = every other cluster member; direct neighbors keep their
@@ -79,7 +99,7 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
         F.concat(
             F.coalesce(F.col("_direct"), F.array()),
             F.transform(
-                F.array_except(F.col("members"), F.array_union(direct_nbr_urls, F.array(F.col("url")))),
+                F.array_except(members_eff, F.array_union(direct_nbr_urls, F.array(F.col("url")))),
                 lambda m: F.struct(
                     m.alias("nbr"),
                     F.array().cast("array<string>").alias("rules"),
@@ -93,11 +113,12 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
     out = base.select(
         "url",
         F.col("component").alias("cluster_id"),
-        F.concat(F.lit("!"), F.concat_ws("!", F.col("members")), F.lit("!")).alias("sourceUidChain"),
+        chain.alias("sourceUidChain"),
         F.coalesce(F.col("sources"), F.array()).alias("sources"),
         duplicates.alias("duplicates"),
         F.coalesce(F.col("duplicateRules"), F.array().cast("array<string>")).alias("duplicateRules"),
         F.col("own_session"),
+        truncated.alias("truncated"),
     )
     out = out.withColumn("isDuplicate", F.size("duplicates") > 0)
     # A9 predicates (helpers/deduplicates/helpers.js:120-149)

@@ -42,6 +42,7 @@ from ..operators.exact import chain_expr
 from ..operators.jaccard import verify_candidates
 from ..operators.lsh import band_table, candidate_pairs
 from ..operators.minhash import with_minhash
+from ..operators.skew import salted_collect_sets, salted_count
 from ..sources.catalog import StageCatalog
 
 
@@ -75,6 +76,9 @@ def run_pipeline(
     cluster_labels, clusters.
     """
     cfg = cfg or DedupConfig()
+    engines = tuple(e for e in engines if e)
+    if not engines:
+        raise ValueError("at least one engine required")
     unknown = set(engines) - {"minhash", "simhash", "substring"}
     if unknown:
         raise ValueError(f"unknown engines: {unknown}")
@@ -195,29 +199,62 @@ def run_pipeline(
     out["cluster_labels"] = labels
 
     # Stage 5: cluster table (A3/A4 aggregates + flags) --------------------
+    # Skew-safe: member lists/sources are salted two-stage collects
+    # (operators/skew.py), and clusters above chain_max_members never
+    # materialize a member array or chain string at all — a boilerplate
+    # mega-cluster at 100× otherwise funnels every member into a single
+    # reducer and builds an unbounded chain. Capped clusters keep size and
+    # a placeholder chain; the cap is logged to lineage, never silent.
     if resume and cat.is_complete("clusters"):
         clusters = cat.read("clusters")
     else:
         member_meta = labels.join(
             corpus.select(F.col("url").alias("node"), "source"), "node", "left"
         )
-        clusters = (
-            member_meta.groupBy(F.col("component").alias("cluster_id"))
-            .agg(
-                chain_expr(F.collect_list("node")).alias("chain"),
-                F.array_sort(F.collect_set("node")).alias("members"),
-                F.array_sort(F.collect_set("source")).alias("sources"),
-                F.count(F.lit(1)).alias("size"),
-            )
-            .withColumn("is_duplicate", F.col("size") >= 2)
+        sizes = salted_count(
+            member_meta, ["component"], F.col("node"), cfg.salt_buckets
+        ).localCheckpoint()
+        small = member_meta.join(
+            sizes.filter(F.col("count") <= cfg.chain_max_members).select("component"),
+            "component", "left_semi",
+        )
+        agg = salted_collect_sets(
+            small, ["component"], ["node", "source"], F.col("node"), cfg.salt_buckets
+        )
+        clusters_small = agg.select(
+            F.col("component").alias("cluster_id"),
+            chain_expr(F.col("set_node")).alias("chain"),
+            F.col("set_node").alias("members"),
+            F.col("set_source").alias("sources"),
+            F.col("count").alias("size"),
+            F.lit(False).alias("truncated"),
+        )
+        clusters_big = sizes.filter(F.col("count") > cfg.chain_max_members).select(
+            F.col("component").alias("cluster_id"),
+            F.concat(
+                F.lit("!truncated:"), F.col("component"), F.lit(":"),
+                F.col("count"), F.lit("!")
+            ).alias("chain"),
+            F.array().cast("array<string>").alias("members"),
+            F.array().cast("array<string>").alias("sources"),
+            F.col("count").alias("size"),
+            F.lit(True).alias("truncated"),
+        )
+        clusters = clusters_small.unionByName(clusters_big).withColumn(
+            "is_duplicate", F.col("size") >= 2
         )
         clusters = cat.write("clusters", clusters)
         counters = clusters.select(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("is_duplicate").cast("long")).alias("dups"),
+            F.sum(F.col("truncated").cast("long")).alias("capped"),
+            F.max(F.col("size")).alias("max_size"),
         ).collect()[0]
         cat.log_lineage("clusters", {"rows_out": counters["rows"],
-                                     "duplicate_clusters": int(counters["dups"])})
+                                     "duplicate_clusters": int(counters["dups"]),
+                                     "capped_clusters": int(counters["capped"]),
+                                     "max_cluster_size": int(counters["max_size"]),
+                                     "chain_max_members": cfg.chain_max_members})
     out["clusters"] = clusters
     return out
 
