@@ -353,6 +353,59 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+def q_business_view_enriched(spark, sf_dir):
+    """S3/S8/G4 + A9/A10 + S7: the reference's final per-document state —
+    business view (chain, sources, rules provenance, isDuplicate,
+    hasTransDuplicate) computed from LSH-verified edges + CC, stamped with
+    S7 ingest defaults, PERSISTED through the keyed write-back table
+    (sources/upsert.py MERGE semantics) and read back. Doc ids are treated
+    as strings end-to-end (CC orders lexicographically; the oracle mirrors
+    with VARCHAR least/min)."""
+    import os
+    import tempfile
+
+    from co_deduplicate_spark.plans.business_view import business_view
+    from co_deduplicate_spark.sources.upsert import UpsertTable, ingest_defaults
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source", F.lit("batch-0").alias("session"),
+    )
+    edges = _lsh_verified_pairs(spark, sf_dir).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.array(F.lit("minhash-lsh")).alias("rules"),
+        F.lit("batch-0").alias("session"),
+    )
+    labels = connected_components(edges.select("src", "dst"), cfg=CFG)
+    labels = attach_singletons(labels, corpus.select(F.col("url").alias("node")), "node")
+    view = business_view(corpus, labels, edges)
+    n_direct = F.size(F.filter(F.col("duplicates"), lambda d: F.size(d["rules"]) > 0))
+    flat = view.select(
+        "url",
+        "cluster_id",
+        "sourceUidChain",
+        F.concat_ws(",", F.col("sources")).alias("sources"),
+        F.concat_ws(",", F.col("duplicateRules")).alias("duplicateRules"),
+        "isDuplicate",
+        "hasTransDuplicate",
+        n_direct.alias("n_direct"),
+    )
+    # S7 stamps (fixed literal so the run is deterministic); the stamped
+    # columns are persisted but not part of the compare projection
+    flat = ingest_defaults(flat, uid_col="url", source_col=None, now="2024-01-01 00:00:00")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tbl = UpsertTable(spark, f"{base}/co_dedup_enriched/{tag}", key="url")
+    tbl.drop()
+    out = tbl.upsert(flat)
+    return out.select(
+        F.col("url").alias("doc_id"), "cluster_id", "sourceUidChain", "sources",
+        "duplicateRules", "isDuplicate", "hasTransDuplicate", "n_direct",
+    )
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """A1/S4: exact-dedup survivor set (min doc_id per normalized content)."""
     from co_deduplicate_spark.operators.exact import dedup_keep_first
@@ -480,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_based_pairs": q_rule_based_pairs,
         "rule_scenario_pairs": q_rule_scenario_pairs,
         "containment_pairs": q_containment_pairs,
+        "business_view_enriched": q_business_view_enriched,
         "dedup_keep_first": q_dedup_keep_first,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -653,6 +707,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT inner_id AS inner, outer_id AS outer
             FROM inners JOIN containers USING (anchor)
             WHERE inner_id != outer_id AND contains(outer_str, inner_str)
+        """,
+        "business_view_enriched": f"""
+            WITH RECURSIVE pairs AS ({_SQL_SHINGLE_PAIRS}),
+            e AS (SELECT src::VARCHAR AS u, dst::VARCHAR AS v FROM pairs),
+            sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            reach(a, b) AS (
+                SELECT u, v FROM sym
+              UNION
+                SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u),
+            comp AS (SELECT a AS doc, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+            alldocs AS (SELECT doc_id::VARCHAR AS doc, source FROM documents),
+            cc AS (SELECT d.doc, coalesce(c.cluster_id, d.doc) AS cluster_id, d.source
+                   FROM alldocs d LEFT JOIN comp c ON c.doc = d.doc),
+            clus AS (SELECT cluster_id,
+                            '!' || array_to_string(list_sort(list(doc)), '!') || '!' AS chain,
+                            array_to_string(list_sort(list_distinct(list(source))), ',') AS srcs,
+                            count(*) AS csize
+                     FROM cc GROUP BY cluster_id),
+            deg AS (SELECT u AS doc, count(DISTINCT v) AS n_direct FROM sym GROUP BY u)
+            SELECT cc.doc AS doc_id, cc.cluster_id,
+                   c.chain AS sourceUidChain, c.srcs AS sources,
+                   CASE WHEN coalesce(g.n_direct, 0) > 0 THEN 'minhash-lsh' ELSE '' END
+                     AS duplicateRules,
+                   (c.csize - 1) > 0 AS isDuplicate,
+                   (c.csize - 1) > coalesce(g.n_direct, 0) AS hasTransDuplicate,
+                   coalesce(g.n_direct, 0)::INTEGER AS n_direct
+            FROM cc JOIN clus c ON c.cluster_id = cc.cluster_id
+            LEFT JOIN deg g ON g.doc = cc.doc
         """,
         "dedup_keep_first": f"""
             SELECT min(doc_id) AS doc_id FROM documents

@@ -1,0 +1,77 @@
+"""Keyed write-back table (sources/upsert.py): MERGE / DELETE / snapshot
+semantics — the batch replacement for the reference's index / updateByQuery
+/ deleteById + version-conflict retry (documentsManager.js:36-89, 336-356).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from co_deduplicate_spark.sources.upsert import UpsertTable, ingest_defaults
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "url string, val string")
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    return UpsertTable(spark, str(tmp_path / "t"), key="url")
+
+
+def test_upsert_insert_and_replace(spark, tbl):
+    tbl.upsert(_df(spark, [("a", "1"), ("b", "1")]))
+    tbl.upsert(_df(spark, [("b", "2"), ("c", "1")]))
+    got = {r.url: r.val for r in tbl.read().collect()}
+    assert got == {"a": "1", "b": "2", "c": "1"}
+
+
+def test_upsert_idempotent(spark, tbl):
+    batch = _df(spark, [("a", "1"), ("b", "2")])
+    t1 = sorted(map(tuple, tbl.upsert(batch).collect()))
+    t2 = sorted(map(tuple, tbl.upsert(batch).collect()))
+    assert t1 == t2 == [("a", "1"), ("b", "2")]
+
+
+def test_delete_by_id(spark, tbl):
+    tbl.upsert(_df(spark, [("a", "1"), ("b", "1"), ("c", "1")]))
+    tbl.delete_by_id(["b", "zzz"])
+    assert {r.url for r in tbl.read().collect()} == {"a", "c"}
+
+
+def test_create_if_not_exists_existing_wins(spark, tbl):
+    tbl.create_if_not_exists(_df(spark, [("a", "1")]))
+    tbl.create_if_not_exists(_df(spark, [("a", "OTHER"), ("b", "x")]))
+    assert {r.url: r.val for r in tbl.read().collect()} == {"a": "1"}
+
+
+def test_crash_leaves_readers_on_old_snapshot(spark, tbl):
+    tbl.upsert(_df(spark, [("a", "1")]))
+    # simulate a writer that died after writing data but before the flip:
+    # a dangling version dir must be invisible to readers
+    _df(spark, [("a", "CORRUPT")]).write.mode("overwrite").parquet(str(tbl.dir / "v_99999"))
+    assert {r.val for r in tbl.read().collect()} == {"1"}
+    # and the next successful upsert still works
+    tbl.upsert(_df(spark, [("a", "2")]))
+    assert {r.val for r in tbl.read().collect()} == {"2"}
+
+
+def test_drop(spark, tbl):
+    tbl.upsert(_df(spark, [("a", "1")]))
+    tbl.drop()
+    assert not tbl.exists()
+
+
+def test_ingest_defaults_stamps(spark):
+    df = spark.createDataFrame([("u1", "s1", None), ("u2", "s2", "!pre!")],
+                               "url string, source string, sourceUidChain string")
+    out = ingest_defaults(df, uid_col="url", source_col="source", now="2024-01-01 00:00:00")
+    rows = {r.url: r for r in out.collect()}
+    # S7: default chain '!{uid}!', existing chain preserved
+    assert rows["u1"].sourceUidChain == "!u1!"
+    assert rows["u2"].sourceUidChain == "!pre!"
+    # default sources = [source]; dates stamped
+    assert rows["u1"].sources == ["s1"]
+    assert str(rows["u1"].creationDate) == "2024-01-01 00:00:00"
+    assert str(rows["u1"].modificationDate) == "2024-01-01 00:00:00"
