@@ -353,6 +353,54 @@ def q_containment_pairs(spark, sf_dir):
     )
 
 
+def q_suffix_window_pairs(spark, sf_dir):
+    """Engine 3b: duplicated-passage detection — pairs sharing any exact
+    30-token window, with the count of shared distinct windows. Spark keys
+    windows by xxhash64; the oracle joins on the window strings themselves
+    (equal barring 2^-64 hash collisions)."""
+    from co_deduplicate_spark.operators.substring import suffix_window_pairs
+
+    return suffix_window_pairs(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        window_tokens=30,
+    )
+
+
+def q_session_predicates(spark, sf_dir):
+    """A9 all four session-existence predicates over a two-session edge
+    labelling (edges stamped s0/s1 by parity of src+dst; current = s0).
+    Transitive members carry no session and count as other-session — the
+    reference's JS `!==` semantics on an absent field (helpers.js:120-149)."""
+    from co_deduplicate_spark.plans.business_view import (
+        business_view,
+        with_session_predicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "source", F.lit("s0").alias("session"),
+    )
+    verified = _lsh_verified_pairs(spark, sf_dir)
+    edges = verified.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.array(F.lit("minhash-lsh")).alias("rules"),
+        F.when(F.pmod(F.col("src") + F.col("dst"), F.lit(2)) == 0, F.lit("s0"))
+        .otherwise(F.lit("s1")).alias("session"),
+    )
+    labels = connected_components(edges.select("src", "dst"), cfg=CFG)
+    labels = attach_singletons(labels, corpus.select(F.col("url").alias("node")), "node")
+    view = with_session_predicates(business_view(corpus, labels, edges), "s0")
+    return view.select(
+        F.col("url").alias("doc_id"),
+        F.size("duplicates").alias("n_duplicates"),
+        "hasDuplicateFromOtherSession",
+        "hasOwnDuplicateFromOtherSession",
+        "hasTransDuplicateFromOtherSession",
+    )
+
+
 def q_business_view_enriched(spark, sf_dir):
     """S3/S8/G4 + A9/A10 + S7: the reference's final per-document state —
     business view (chain, sources, rules provenance, isDuplicate,
@@ -533,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_based_pairs": q_rule_based_pairs,
         "rule_scenario_pairs": q_rule_scenario_pairs,
         "containment_pairs": q_containment_pairs,
+        "suffix_window_pairs": q_suffix_window_pairs,
+        "session_predicates": q_session_predicates,
         "business_view_enriched": q_business_view_enriched,
         "dedup_keep_first": q_dedup_keep_first,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -707,6 +757,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT inner_id AS inner, outer_id AS outer
             FROM inners JOIN containers USING (anchor)
             WHERE inner_id != outer_id AND contains(outer_str, inner_str)
+        """,
+        "suffix_window_pairs": f"""
+            WITH toks AS ({_SQL_TOKS}),
+            w AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(0, len(ts) - 29),
+                       i -> array_to_string(ts[i+1:i+30], ' ')))) AS wkey
+              FROM toks WHERE len(ts) >= 30)
+            SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared_windows
+            FROM w a JOIN w b ON a.wkey = b.wkey AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "session_predicates": f"""
+            WITH RECURSIVE pairs AS ({_SQL_SHINGLE_PAIRS}),
+            e AS (SELECT src::VARCHAR AS u, dst::VARCHAR AS v,
+                         CASE WHEN (src + dst) % 2 = 0 THEN 's0' ELSE 's1' END AS sess
+                  FROM pairs),
+            sym AS (SELECT u, v, sess FROM e UNION ALL SELECT v, u, sess FROM e),
+            symd AS (SELECT DISTINCT u, v FROM sym),
+            reach(a, b) AS (
+                SELECT u, v FROM symd
+              UNION
+                SELECT r.a, s.v FROM reach r JOIN symd s ON r.b = s.u),
+            comp AS (SELECT a AS doc, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+            alldocs AS (SELECT doc_id::VARCHAR AS doc FROM documents),
+            cc AS (SELECT d.doc, coalesce(c.cluster_id, d.doc) AS cluster_id
+                   FROM alldocs d LEFT JOIN comp c ON c.doc = d.doc),
+            csize AS (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id),
+            deg AS (SELECT u AS doc, count(DISTINCT v) AS n_direct,
+                           max(CASE WHEN sess <> 's0' THEN 1 ELSE 0 END) AS own_other
+                    FROM sym GROUP BY u)
+            SELECT cc.doc AS doc_id,
+                   (s.n - 1)::INTEGER AS n_duplicates,
+                   (coalesce(g.own_other, 0) = 1
+                    OR (s.n - 1) > coalesce(g.n_direct, 0)) AS "hasDuplicateFromOtherSession",
+                   (coalesce(g.own_other, 0) = 1) AS "hasOwnDuplicateFromOtherSession",
+                   ((s.n - 1) > coalesce(g.n_direct, 0)) AS "hasTransDuplicateFromOtherSession"
+            FROM cc JOIN csize s ON s.cluster_id = cc.cluster_id
+            LEFT JOIN deg g ON g.doc = cc.doc
         """,
         "business_view_enriched": f"""
             WITH RECURSIVE pairs AS ({_SQL_SHINGLE_PAIRS}),

@@ -31,6 +31,11 @@ class DedupConfig:
     # --- SimHash (engine 2) ---
     simhash_bits: int = 60        # 60 bits = 15 hex chars of md5 → fits signed int64
     hamming_max: int = 3          # Hamming-ball radius; pigeonhole chunks = hamming_max + 1
+    # blocking strategy: "multiblock" joins on C(m, m-d) combinations of
+    # m-d of m blocks (wide keys, 100 TB default); "pigeonhole" on single
+    # d+1 chunks (minimal explode, narrow keys). Both are exact.
+    simhash_blocking: str = "multiblock"
+    simhash_blocks: int = 6       # m; 60 bits / 6 = 10-bit blocks, C(6,3)=20 keys
 
     # --- suffix/substring (engine 3) ---
     substring_min_tokens: int = 12  # min length of normalized text to count as contained

@@ -62,15 +62,59 @@ def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  threshold: float = 0.8, shingle_k: int = 1, fold: bool = True) -> DataFrame:
+                  threshold: float = 0.8, shingle_k: int = 1, fold: bool = True,
+                  max_df: int | None = None) -> DataFrame:
     """All pairs (src < dst) with token-set Jaccard >= threshold.
 
-    Exhaustive (recall 1.0 by construction): every overlapping pair
-    survives the postings join. Columns: src, dst, jaccard.
+    ``max_df=None`` (default) is exhaustive — recall 1.0 by construction:
+    every overlapping pair survives the postings join.
+
+    ``max_df=N`` drops tokens appearing in more than N documents from
+    CANDIDATE GENERATION only (the hot-token/boilerplate cost control for
+    the standalone mode): candidate pairs come from the pruned postings
+    join, but their Jaccard is then computed exactly over the FULL token
+    sets (array_intersect). Trade-off, stated plainly: a pair whose entire
+    overlap is hot tokens is missed — recall < 1.0. The number of dropped
+    tokens is logged (never silent).
     """
+    import logging
+
     # materialize the shingle table once — it feeds both join sides
     ts = token_sets(docs, id_col, text_col, shingle_k, fold=fold).localCheckpoint()
     postings = ts.select("doc", "n_tokens", F.explode("tokens").alias("token"))
+    if max_df is not None:
+        hot = (
+            postings.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("token")
+            .localCheckpoint()
+        )
+        n_hot = hot.count()
+        logging.getLogger(__name__).info(
+            "jaccard_pairs max_df=%d: dropping %d hot tokens from candidate generation",
+            max_df, n_hot,
+        )
+        kept = postings.join(hot, "token", "left_anti")
+        a, b = kept.alias("a"), kept.alias("b")
+        cand = (
+            a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+            .distinct()
+        )
+        out = (
+            cand.join(ts.select(F.col("doc").alias("src"), F.col("tokens").alias("_ta"),
+                                F.col("n_tokens").alias("na")), "src")
+            .join(ts.select(F.col("doc").alias("dst"), F.col("tokens").alias("_tb"),
+                            F.col("n_tokens").alias("nb")), "dst")
+            .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
+            .withColumn("jaccard_ppm", F.expr("(inter * 1000000L) div (na + nb - inter)"))
+            .withColumn("jaccard",
+                        F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .filter(F.col("jaccard_ppm") >= int(threshold * 1_000_000))
+            .select("src", "dst", "jaccard", "jaccard_ppm")
+        )
+        return out
     a = postings.alias("a")
     b = postings.alias("b")
     inter = (

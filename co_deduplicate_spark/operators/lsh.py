@@ -14,12 +14,19 @@ signature slices (whole-stage codegen, no Python).
 Skew (the real 100 TB problem — boilerplate pages collapse into mega-bands):
   * AQE skew-join splitting is on (session.py).
   * ``star_reduce_threshold``: buckets larger than the threshold emit a
-    star (bucket-min → member) instead of the full clique. A star preserves
-    *connectivity* exactly — connected components are unchanged — while
-    cutting a b-size bucket from O(b²) to O(b) candidate edges. Pair-level
-    recall for such buckets is then recovered transitively by the cluster
-    stage rather than pairwise verification; bucket counts are logged to
-    the lineage table, never silently dropped (SURVEY.md §7 step 5).
+    star (bucket-min → member) instead of the full clique, cutting a
+    b-size bucket from O(b²) to O(b) candidate edges. The star preserves
+    connectivity exactly AT THE CANDIDATE LEVEL; note the honest caveat:
+    when star edges are then Jaccard-VERIFIED (pipeline stage 3), a member
+    whose similarity to the bucket-min falls below threshold loses its
+    edge, and true duplicate pairs among such dropped members can
+    disconnect — recall through verification is NOT guaranteed for
+    mega-buckets. This is the intended trade (mega-buckets are boilerplate
+    collisions; their members are usually near-identical, as in the
+    mega-cluster test where recall stays 1.0), and it is observable:
+    bucket histograms and pre/post-verification edge counts are logged to
+    lineage, never silently dropped (SURVEY.md §7 step 5). Exact pair
+    semantics for mega-buckets requires star_reduce off.
 """
 
 from __future__ import annotations

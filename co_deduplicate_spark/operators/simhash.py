@@ -52,14 +52,22 @@ def simhash_py(text: str | None, bits: int = 60, k: int = 3) -> int | None:
     h = np.array([token_hash_py(t, bits) for t in toks], dtype=np.uint64)
     bit_matrix = (h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)
     votes = 2 * bit_matrix.sum(axis=0).astype(np.int64) - len(toks)
-    sig = 0
-    for b in range(bits):
-        if votes[b] > 0:
-            sig |= 1 << b
-    return sig
+    # pack sign bits without a Python bit loop (sum of distinct powers < 2^60)
+    return int((np.uint64(1) << np.arange(bits, dtype=np.uint64))[votes > 0].sum())
 
 
 def simhash_udf(cfg: DedupConfig):
+    """Arrow-batched simhash kernel, per-document numpy vote reduction.
+
+    Measured decision (PLANS.md §SimHash kernel): a whole-batch variant —
+    flat shingle array + S×60 bit matrix + ``np.add.reduceat`` segment
+    sums — was built and A/B'd at 40k pages / 16 threads: per-doc numpy is
+    STABLE at 2-4 s while the batch-matrix kernel oscillated 3-22 s
+    (multi-10-MB allocation churn in reused python workers). The md5 loop
+    dominates either way; the per-doc bit matrix (~150×60) stays in cache.
+    Bit-exactness vs the DuckDB mirror is asserted by the simhash_values
+    oracle either way.
+    """
     bits = cfg.simhash_bits
     k = cfg.shingle_k
 
@@ -78,26 +86,60 @@ def with_simhash(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
     )
 
 
+def _blocking_keys(cfg: DedupConfig) -> list:
+    """Compile-time list of blocking-key Column expressions.
+
+    ``pigeonhole``: d+1 chunks of bits/(d+1) bits — any one chunk clean.
+    Minimal explode factor (4 rows/doc at d=3) but narrow 15-bit keys:
+    random-pair collision ≈ 4·2⁻¹⁵ per doc pair, so candidate volume grows
+    quadratically at extreme corpus sizes.
+
+    ``multiblock``: m=simhash_blocks blocks; a pair within distance d has
+    ≥ m−d clean blocks, so joining on every C(m, m−d) combination of m−d
+    blocks is still EXACT (recall 1.0) with much wider keys — m=6, d=3
+    gives 20 combinations of 30-bit keys (collision ≈ 20·2⁻³⁰): ~5 orders
+    of magnitude fewer random candidates for a 5× explode factor. This is
+    the 100 TB setting (measured curves in PLANS.md §SimHash).
+    """
+    mask_of = lambda nbits: (1 << nbits) - 1  # noqa: E731
+    if cfg.simhash_blocking == "pigeonhole":
+        n_chunks = cfg.hamming_max + 1
+        chunk_bits = cfg.simhash_bits // n_chunks
+        return [
+            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask_of(chunk_bits)))
+            for c in range(n_chunks)
+        ]
+    if cfg.simhash_blocking == "multiblock":
+        from itertools import combinations
+
+        m, d = cfg.simhash_blocks, cfg.hamming_max
+        if m <= d:
+            raise ValueError(f"simhash_blocks={m} must exceed hamming_max={d}")
+        block_bits = cfg.simhash_bits // m
+        mask = mask_of(block_bits)
+        keys = []
+        for combo in combinations(range(m), m - d):
+            kv = F.lit(0).cast("long")
+            for j, c in enumerate(combo):
+                block = F.shiftright(F.col("simhash"), c * block_bits).bitwiseAND(F.lit(mask))
+                kv = kv.bitwiseOR(F.shiftleft(block, j * block_bits))
+            keys.append(kv)
+        return keys
+    raise ValueError(f"unknown simhash_blocking: {cfg.simhash_blocking}")
+
+
 def hamming_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """All pairs (src < dst) with Hamming(simhash) <= hamming_max.
 
-    Pigeonhole chunk join (exact), then JVM-side popcount verification:
-    ``bit_count(s1 ^ s2)`` — whole-stage codegen, no Python.
+    Exact blocking join (strategy per ``cfg.simhash_blocking`` — see
+    :func:`_blocking_keys`), then JVM-side popcount verification:
+    ``bit_count(s1 ^ s2)`` — whole-stage codegen, no Python. The result
+    set is identical under either blocking; only candidate volume differs.
     """
-    n_chunks = cfg.hamming_max + 1
-    chunk_bits = cfg.simhash_bits // n_chunks
-    mask = (1 << chunk_bits) - 1
-    # shiftright takes a literal bit count → unroll the (compile-time small)
-    # chunk loop into an array literal instead of a transform lambda
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
-            for c in range(n_chunks)
-        ]
-    )
     keyed = (
         sigs.filter(F.col("simhash").isNotNull())
-        .select("doc", "simhash", F.posexplode(chunks).alias("chunk_id", "chunk_val"))
+        .select("doc", "simhash",
+                F.posexplode(F.array(*_blocking_keys(cfg))).alias("chunk_id", "chunk_val"))
     )
     a = keyed.alias("a")
     b = keyed.alias("b")

@@ -136,13 +136,36 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
     return out
 
 
+def with_session_predicates(view: DataFrame, current_session: str) -> DataFrame:
+    """A9 session-existence predicates, all four variants
+    (helpers/deduplicates/helpers.js:120-149).
+
+    JS semantics quirk mirrored deliberately: ``duplicate.sessionName !==
+    current`` is TRUE when sessionName is absent (undefined !== string), so
+    transitive entries — which the cluster rewrite adds without a session
+    (painless 198-211) — count as "from another session". NULL session
+    therefore satisfies the "other session" arm here too.
+    """
+    other = lambda d: d["session"].isNull() | (d["session"] != F.lit(current_session))  # noqa: E731
+    dups = F.col("duplicates")
+    return (
+        view.withColumn(
+            "hasDuplicateFromOtherSession",
+            F.exists(dups, lambda d: other(d)),
+        )
+        .withColumn(
+            "hasOwnDuplicateFromOtherSession",
+            F.exists(dups, lambda d: other(d) & (F.size(d["rules"]) > 0)),
+        )
+        .withColumn(
+            "hasTransDuplicateFromOtherSession",
+            F.exists(dups, lambda d: other(d) & (F.size(d["rules"]) == 0)),
+        )
+    )
+
+
 def has_duplicate_from_other_session(view: DataFrame, current_session: str):
-    """A9: exists(duplicates, d -> d.sessionName != current)
-    (helpers.js:127-135)."""
-    return view.withColumn(
-        "hasDuplicateFromOtherSession",
-        F.exists(
-            F.col("duplicates"),
-            lambda d: d["session"].isNotNull() & (d["session"] != current_session),
-        ),
+    """Back-compat wrapper for the single-predicate form (helpers.js:120-126)."""
+    return with_session_predicates(view, current_session).drop(
+        "hasOwnDuplicateFromOtherSession", "hasTransDuplicateFromOtherSession"
     )

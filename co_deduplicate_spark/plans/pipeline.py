@@ -124,12 +124,19 @@ def run_pipeline(
         edges = cat.read("candidate_edges")
     else:
         per_engine = []
+        engine_counters: dict = {}
         if "minhash" in engines:
             bands = band_table(sigs, cfg)
             cands = candidate_pairs(
                 bands, cfg,
                 star_reduce_threshold=cfg.band_bucket_cap if star_reduce else None,
             )
+            if star_reduce:
+                # star reduction trades pair recall in mega-buckets for
+                # O(b) edges (lsh.py docstring) — make the trade observable:
+                # pre-verification candidate count rides into lineage
+                cands = cands.localCheckpoint()
+                engine_counters["minhash_candidates_pre_verify"] = cands.count()
             verified = verify_candidates(
                 cands, corpus, id_col="url", text_col="text",
                 threshold=cfg.jaccard_threshold, shingle_k=cfg.shingle_k,
@@ -185,7 +192,7 @@ def run_pipeline(
         )
         edges = cat.write("candidate_edges", edges)
         cat.log_lineage("candidate_edges", {"rows_out": cat.manifest("candidate_edges")["rows"],
-                                            "engines": list(engines)})
+                                            "engines": list(engines), **engine_counters})
     out["candidate_edges"] = edges
 
     # Stage 4: connected components ---------------------------------------

@@ -32,6 +32,18 @@ def build_session(
     master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
     n_shuffle = shuffle_partitions or (cores if cores and cores > 0 else (os.cpu_count() or 8))
 
+    # spark.driver.memory only takes effect BEFORE the JVM gateway launches.
+    # When build_session is the first Spark touch in a plain Python process,
+    # inject it via PYSPARK_SUBMIT_ARGS (which launch_gateway reads); if a
+    # JVM already exists (spark-submit or a prior session), the submit args
+    # own the heap and this is a no-op.
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is None and "PYSPARK_SUBMIT_ARGS" not in os.environ:
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {driver_memory} pyspark-shell"
+        )
+
     # Shuffle/checkpoint scratch on tmpfs when available: local-mode "disk"
     # IO otherwise lands on the root device, and concurrent writeback from
     # many executor threads stalls tasks (measured: a 1 s parquet write

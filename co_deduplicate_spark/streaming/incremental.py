@@ -56,9 +56,19 @@ def incremental_update(
     audit). Deterministic — re-running is idempotent.
     """
     spark = new_pages.sparkSession
-    full_corpus = old_corpus.select("url", "text").unionByName(
-        new_pages.select("url", "text")
-    ).dropDuplicates(["url"])
+    # newest-wins on url collision (the reference's update-by-id semantics:
+    # a re-crawl replaces the stored doc) — the old row is anti-joined away
+    # BEFORE the union, so the surviving row is deterministic, not
+    # whichever partition dropDuplicates happened to keep
+    # within-batch url collisions also resolve deterministically (max text)
+    new_urls_only = new_pages.select("url", "text").groupBy("url").agg(
+        F.max("text").alias("text")
+    )
+    full_corpus = (
+        old_corpus.select("url", "text")
+        .join(new_urls_only.select("url"), "url", "left_anti")
+        .unionByName(new_urls_only)
+    )
 
     # 1. signatures for everything (production keeps the old signature table
     #    and computes only the delta; recompute here is the same plan)

@@ -26,16 +26,24 @@ def stream_exact_dedup(
     ts_col: str = "warc_ts",
     text_col: str = "text",
 ) -> DataFrame:
-    """Streaming exact dedup: content-fingerprint ``dropDuplicates`` with a
-    watermark bounding the dedup state (late re-crawls beyond the watermark
-    are admitted as new rows — the batch pipeline reconciles them).
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts a fingerprint's dedup state
+    once the watermark passes its event time, so state is O(rows within
+    the watermark window), not O(all fingerprints ever seen). Two
+    consequences, stated plainly: duplicates arriving within the watermark
+    window are dropped; a re-crawl arriving AFTER the watermark has passed
+    the original is admitted as a new row — the batch pipeline reconciles
+    those. (A plain ``dropDuplicates(["fp"])`` would keep every
+    fingerprint forever: the watermark only bounds dedup state when it can
+    age entries out, which requires the within-watermark variant or the
+    event-time column in the dedup key.)
     """
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
         stream.withColumn("fp", fingerprint_expr(F.col(text_col)))
         .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["fp"])
+        .dropDuplicatesWithinWatermark(["fp"])
     )
 
 
