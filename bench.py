@@ -36,8 +36,14 @@ HEADLINE = [
     "simhash_values",
     "simhash_hamming_pairs",
     "rule_based_pairs",
+    "rule_scenario_pairs",
     "containment_pairs",
+    "suffix_window_pairs",
+    "session_predicates",
+    "business_view_enriched",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_dup_pairs",
     "doc_profile",
     "lang_guess",
     "exact_dup_clusters",

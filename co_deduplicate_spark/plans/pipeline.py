@@ -62,6 +62,7 @@ def run_pipeline(
     resume: bool = True,
     star_reduce: bool = False,
     engines: tuple[str, ...] = ("minhash",),
+    enriched: bool = False,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the dedup pipeline with the selected engines.
 
@@ -263,6 +264,35 @@ def run_pipeline(
                                      "max_cluster_size": int(counters["max_size"]),
                                      "chain_max_members": cfg.chain_max_members})
     out["clusters"] = clusters
+
+    # Stage 6 (optional): per-record enriched write-back (S3/S8/G4) --------
+    # The reference's true end state: every document rewritten with its
+    # duplicates adjacency, chain, sources, rules provenance, and S7 date
+    # stamps (painless/updateDuplicatesGraph.painless:160-232 +
+    # setCreationAndModificationDate.painless). Persisted through the
+    # keyed UpsertTable (MERGE semantics, atomic snapshot flip) so a
+    # reader sees exactly what an ES reader of the reference would.
+    if enriched:
+        from pathlib import Path
+
+        from ..sources.upsert import UpsertTable, ingest_defaults
+        from .business_view import business_view
+
+        table = UpsertTable(spark, str(Path(workdir) / "documents_enriched"), key="url")
+        if resume and cat.is_complete("enriched") and table.exists():
+            out["enriched"] = table.read()
+        else:
+            view = business_view(
+                corpus, labels, edges, signatures=sigs,
+                n_salts=cfg.salt_buckets,
+                max_members_inline=cfg.chain_max_members,
+            )
+            stamped = ingest_defaults(view, uid_col="url", source_col=None)
+            enriched_df = table.upsert(stamped)
+            cat.mark_complete("enriched", rows=enriched_df.count(),
+                              counters={"upsert_version": table._manifest()["version"]})
+            cat.log_lineage("enriched", {"rows_out": cat.manifest("enriched")["rows"]})
+            out["enriched"] = enriched_df
     return out
 
 

@@ -81,6 +81,20 @@ class StageCatalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(str(self._table_dir(name)))
 
+    def mark_complete(self, name: str, rows: int, counters: dict | None = None) -> None:
+        """Manifest-only completion marker for stages whose data lives in a
+        different container (e.g. the UpsertTable-backed enriched stage)."""
+        self._table_dir(name).mkdir(parents=True, exist_ok=True)
+        manifest = {
+            "table": name,
+            "config_hash": self.config_hash,
+            "status": "complete",
+            "rows": rows,
+            "counters": counters or {},
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        self._manifest_path(name).write_text(json.dumps(manifest, indent=2))
+
     def manifest(self, name: str) -> dict:
         return json.loads(self._manifest_path(name).read_text())
 

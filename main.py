@@ -32,6 +32,9 @@ def parse_args(argv):
     p.add_argument("--no-resume", action="store_true", help="ignore existing stage manifests")
     p.add_argument("--star-reduce", action="store_true",
                    help="star-reduce mega LSH buckets (connectivity-preserving skew cap)")
+    p.add_argument("--enriched", action="store_true",
+                   help="also write the per-record enriched table (business view "
+                        "upserted into <workdir>/documents_enriched)")
     p.add_argument("--session-name", default=None, help="crawl-session stamp for edge provenance")
     p.add_argument("--cores", type=int, default=None, help="local-mode cores (ignored under spark-submit)")
     return p.parse_args(argv)
@@ -69,6 +72,7 @@ def main(argv=None) -> int:
     out = run_pipeline(
         spark, pages, args.workdir, cfg,
         resume=not args.no_resume, star_reduce=args.star_reduce, engines=engines,
+        enriched=args.enriched,
     )
     from pyspark.sql import functions as F
 

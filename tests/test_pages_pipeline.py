@@ -113,3 +113,26 @@ def test_pandas_extraction_vectorized(pages):
     pdf = pages.select("url", "html", "text").toPandas()
     extracted = pdf["html"].map(extract_text_py)
     assert (extracted == pdf["text"]).all()
+
+
+def test_pipeline_enriched_stage(spark, pages, tmp_path):
+    """Stage 6: per-record write-back — reference end-state per url."""
+    from co_deduplicate_spark.sources.pages import _url
+    from co_deduplicate_spark.sources.upsert import UpsertTable
+
+    wk = str(tmp_path / "wk_enr")
+    out = run_pipeline(spark, pages, wk, CFG, enriched=True)
+    enr = out["enriched"]
+    assert {"url", "sourceUidChain", "duplicates", "duplicateRules", "isDuplicate",
+            "creationDate", "modificationDate"} <= set(enr.columns)
+    grp = sorted({_url(0, s) for s in (0, 1, 2, 16)})
+    row = enr.filter(F.col("url") == grp[0]).collect()[0]
+    assert row["isDuplicate"] is True
+    assert row["sourceUidChain"] == "!" + "!".join(grp) + "!"
+    assert {d["nbr"] for d in row["duplicates"]} == set(grp) - {grp[0]}
+    # resume: re-run reuses the completed upsert snapshot (same version)
+    v1 = UpsertTable(spark, f"{wk}/documents_enriched")._manifest()["version"]
+    out2 = run_pipeline(spark, pages, wk, CFG, enriched=True)
+    v2 = UpsertTable(spark, f"{wk}/documents_enriched")._manifest()["version"]
+    assert v1 == v2
+    assert out2["enriched"].count() == enr.count()
