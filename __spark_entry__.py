@@ -118,15 +118,26 @@ simhashes AS (
 # Spark-side helpers
 # --------------------------------------------------------------------------
 
+# Several queries (minhash_lsh_pairs, dup_clusters_cc, cluster_chains,
+# session_predicates, business_view_enriched) consume the same verified
+# edge set — materialize it once per (application, sf_dir), exactly like
+# the pipeline's checkpointed candidate_edges stage table.
+_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH→exact-verify on documents (the flagship dedup path)."""
-    docs = _t(spark, sf_dir, "documents")
-    sigs = with_minhash(docs, CFG, id_col="doc_id", text_col="text")
-    cands = candidate_pairs(band_table(sigs, CFG), CFG)
-    return verify_candidates(
-        cands, docs, id_col="doc_id", text_col="text",
-        threshold=CFG.jaccard_threshold, shingle_k=CFG.shingle_k, fold=ASCII_FOLD,
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VERIFIED_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        sigs = with_minhash(docs, CFG, id_col="doc_id", text_col="text")
+        cands = candidate_pairs(band_table(sigs, CFG), CFG)
+        verified = verify_candidates(
+            cands, docs, id_col="doc_id", text_col="text",
+            threshold=CFG.jaccard_threshold, shingle_k=CFG.shingle_k, fold=ASCII_FOLD,
+        )
+        _VERIFIED_CACHE[key] = verified.localCheckpoint()
+    return _VERIFIED_CACHE[key]
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
