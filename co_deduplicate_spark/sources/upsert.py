@@ -157,3 +157,40 @@ class UpsertTable:
 
         if self.dir.exists():
             shutil.rmtree(self.dir)
+
+
+def bulk_create(table: UpsertTable, docs: DataFrame,
+                validators: dict[str, Column],
+                rejected_dir: str | None = None,
+                throw_on_error: bool = False) -> dict:
+    """S4 ``bulkCreate`` with the per-item error side-channel
+    (/root/reference/src/documentsManager.js:91-127): rows failing any
+    validator are captured with the list of failed checks — written to
+    ``rejected_dir`` (parquet) when given — while accepted rows are
+    upserted keyed by ``table.key`` (the reference keys bulk items by
+    ``technical.internalId``, buildCreateBody at 129-141).
+
+    ``validators`` maps error-name → boolean Column (True = row OK).
+    Returns counters {accepted, rejected}; ``throw_on_error`` mirrors the
+    reference's optional throw (documentsManager.js:122-124) after the
+    side-channel is fully written — nothing is lost either way.
+    """
+    errors = F.filter(
+        F.array(*[
+            F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+            for name, cond in validators.items()
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    tagged = docs.withColumn("_errors", errors).localCheckpoint()
+    accepted = tagged.filter(F.size("_errors") == 0).drop("_errors")
+    rejected = tagged.filter(F.size("_errors") > 0)
+    n_rejected = rejected.count()
+    if n_rejected and rejected_dir:
+        rejected.write.mode("overwrite").parquet(rejected_dir)
+    table.upsert(accepted)
+    n_accepted = accepted.count()
+    if n_rejected and throw_on_error:
+        raise ValueError(f"bulk_create: {n_rejected} rejected rows"
+                         + (f" (written to {rejected_dir})" if rejected_dir else ""))
+    return {"accepted": n_accepted, "rejected": n_rejected}

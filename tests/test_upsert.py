@@ -75,3 +75,41 @@ def test_ingest_defaults_stamps(spark):
     assert rows["u1"].sources == ["s1"]
     assert str(rows["u1"].creationDate) == "2024-01-01 00:00:00"
     assert str(rows["u1"].modificationDate) == "2024-01-01 00:00:00"
+
+
+def test_bulk_create_error_side_channel(spark, tbl, tmp_path):
+    from pyspark.sql import functions as F
+
+    from co_deduplicate_spark.sources.upsert import bulk_create
+
+    docs = spark.createDataFrame(
+        [("a", "ok"), ("b", ""), (None, "x"), ("c", "fine")], "url string, val string"
+    )
+    validators = {
+        "missing_id": F.col("url").isNotNull(),
+        "empty_val": F.length(F.col("val")) > 0,
+    }
+    rej_dir = str(tmp_path / "rejected")
+    stats = bulk_create(tbl, docs, validators, rejected_dir=rej_dir)
+    assert stats == {"accepted": 2, "rejected": 2}
+    assert {r.url for r in tbl.read().collect()} == {"a", "c"}
+    rej = [(r["url"], list(r["_errors"]))
+           for r in spark.read.parquet(rej_dir).select("url", "_errors").collect()]
+    assert (None, ["missing_id"]) in rej
+    assert ("b", ["empty_val"]) in rej
+
+
+def test_bulk_create_throw_after_side_channel(spark, tbl, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from co_deduplicate_spark.sources.upsert import bulk_create
+
+    docs = spark.createDataFrame([("a", ""), ("b", "y")], "url string, val string")
+    rej_dir = str(tmp_path / "rej2")
+    with _pytest.raises(ValueError, match="1 rejected"):
+        bulk_create(tbl, docs, {"empty_val": F.length("val") > 0},
+                    rejected_dir=rej_dir, throw_on_error=True)
+    # side channel and accepted rows are fully written before the throw
+    assert spark.read.parquet(rej_dir).count() == 1
+    assert {r.url for r in tbl.read().collect()} == {"b"}
