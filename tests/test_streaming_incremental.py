@@ -130,3 +130,29 @@ def test_multimodal_decode_and_dedup(spark):
     assert feats[1] == feats[2]          # deterministic: same bytes → same features
     assert feats[1] != feats[3]
     assert len(feats[1]) == 16
+
+
+def test_incremental_recrawl_newest_wins(spark):
+    """A re-crawled url with changed text must deterministically keep the
+    NEW text (reference update-by-id semantics) — the old row is anti-joined
+    away before the union, never left to a nondeterministic dropDuplicates."""
+    old_corpus = spark.createDataFrame(
+        [("u1", "old words entirely about apples bananas cherries dates elderberry fig grape"),
+         ("u2", "stable second document with its own unrelated vocabulary tokens here")],
+        "url string, text string",
+    )
+    old_edges = spark.createDataFrame(
+        [], "src string, dst string, rules array<string>, session string"
+    )
+    old_labels = spark.createDataFrame(
+        [("u1", "u1"), ("u2", "u2")], "node string, component string"
+    )
+    new_text = "u1 recrawled brand new body matching nothing previous crawl produced at all"
+    new_pages = spark.createDataFrame([("u1", new_text)], "url string, text string")
+    out = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG, "s2")
+    # rerun twice — identical outputs (determinism), and no edge should link
+    # u1's OLD content to anything
+    l1 = sorted(map(tuple, out["labels"].collect()))
+    out2 = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG, "s2")
+    assert l1 == sorted(map(tuple, out2["labels"].collect()))
+    assert out["edges"].count() == 0
