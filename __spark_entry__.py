@@ -143,20 +143,16 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id long, cluster_id long): components over verified dup edges.
 
-    Node ids are zero-padded for the string-ordered CC, then cast back so
-    cluster_id = numeric min member (matches the SQL oracle's least())."""
+    CC is type-preserving — long node ids shuffle as longs (half the width
+    of the round-1 zero-padded strings) and component = numeric min member
+    (matches the SQL oracle's least())."""
     docs = _t(spark, sf_dir, "documents")
-    edges = _lsh_verified_pairs(spark, sf_dir).select(
-        F.lpad(F.col("src").cast("string"), 12, "0").alias("src"),
-        F.lpad(F.col("dst").cast("string"), 12, "0").alias("dst"),
-    )
+    edges = _lsh_verified_pairs(spark, sf_dir).select("src", "dst")
     labels = connected_components(edges, cfg=CFG)
-    labels = attach_singletons(
-        labels, docs.select(F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("doc")), "doc"
-    )
+    labels = attach_singletons(labels, docs.select(F.col("doc_id").alias("doc")), "doc")
     return labels.select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("component").cast("long").alias("cluster_id"),
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
     )
 
 

@@ -12,9 +12,10 @@ Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
 (SOCC'14) — alternating large-star/small-star edge rewrites converge in
 O(log n) rounds to a forest of stars rooted at each component's minimum
 node. Pure DataFrame joins + aggregations; any totally ordered node id
-type works (we use strings — urls / doc ids — so no id-collision risk from
-hashing). Each round localCheckpoints to cut lineage (the Spark analogue
-of the reference's per-stage persistence).
+type works and is PRESERVED (urls stay strings; numeric doc ids stay
+longs — half the shuffle width of zero-padded strings, no id-collision
+risk from hashing either way). Each round localCheckpoints to cut lineage
+(the Spark analogue of the reference's per-stage persistence).
 """
 
 from __future__ import annotations
@@ -74,9 +75,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     union them in with component = self (see ``attach_singletons``).
     """
     cfg = cfg or DedupConfig()
+    # type-preserving: numeric node ids stay numeric (a long shuffles at
+    # half the width of the equivalent zero-padded string and compares by
+    # the same total order); mixed-type inputs unify via string
+    pair = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if pair.schema[0].dataType != pair.schema[1].dataType:
+        pair = pair.select(F.col("u").cast("string"), F.col("v").cast("string"))
     e = (
-        edges.select(F.col(src).cast("string").alias("u"), F.col(dst).cast("string").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        pair.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
@@ -102,7 +108,8 @@ def attach_singletons(labels: DataFrame, nodes: DataFrame, node_col: str = "doc"
     The reference keeps isolated vertices in the graph without edges
     (helpers/deduplicates/helpers.js:51-62 'node only' path); same here.
     """
-    all_nodes = nodes.select(F.col(node_col).cast("string").alias("node")).distinct()
+    node_type = dict(labels.dtypes).get("node", "string")
+    all_nodes = nodes.select(F.col(node_col).cast(node_type).alias("node")).distinct()
     missing = all_nodes.join(labels.select("node"), "node", "left_anti").withColumn(
         "component", F.col("node")
     )
