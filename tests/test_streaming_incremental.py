@@ -156,3 +156,48 @@ def test_incremental_recrawl_newest_wins(spark):
     out2 = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG, "s2")
     assert l1 == sorted(map(tuple, out2["labels"].collect()))
     assert out["edges"].count() == 0
+
+
+def test_stateful_host_sessions(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-host sessionization.
+    Host A has two bursts separated by > gap -> the first session closes
+    in-stream ('gap'); tails stay in state (timeout-bounded)."""
+    from datetime import datetime, timedelta
+
+    from co_deduplicate_spark.streaming.stateful import stream_host_sessions
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(5):  # burst 1 on host-a: 5 pages, 1 min apart
+        rows.append((f"https://host-a.org/p/{i}", t0 + timedelta(minutes=i)))
+    for i in range(3):  # burst 2 on host-a: 2h later
+        rows.append((f"https://host-a.org/q/{i}", t0 + timedelta(hours=2, minutes=i)))
+    rows.append(("https://host-b.org/only", t0))  # single-page host stays open
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp").select(
+        "url", "warc_ts",
+        F.lit(bytearray(b"")).alias("html"), F.lit("x").alias("text"), F.lit("en").alias("lang"),
+    )
+    src = str(tmp_path / "sess_landing")
+    pages.write.parquet(src)
+
+    q = (
+        stream_host_sessions(spark, src, PAGES_SCHEMA, gap="30 minutes")
+        .writeStream.format("memory").queryName("host_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {(r["host"], r["session_seq"]): r
+           for r in spark.sql("SELECT * FROM host_sessions").collect()}
+    key = ("host-a.org", 1)
+    assert key in out, f"first host-a session should close in-stream, got {out}"
+    r = out[key]
+    assert r["n_pages"] == 5
+    assert r["closed_by"] == "gap"
+    assert (r["end_ts"] - r["start_ts"]).total_seconds() == 240
+    # host-b: watermark (max event time - 1h = t0+1h02) passed its
+    # last_ts+gap (t0+30m) -> closed by TIMEOUT in the drain batch
+    rb = out[("host-b.org", 1)]
+    assert rb["closed_by"] == "timeout" and rb["n_pages"] == 1
+    # host-a burst 2 (last ts t0+2h02, timeout t0+2h32 > watermark) stays open
+    assert ("host-a.org", 2) not in out
