@@ -76,15 +76,16 @@ WHERE (cnt * 1000000) // (sa.n + sb.n - cnt) >= {JACCARD_PPM}
 
 # IVF assignment mirror (operators/ann.py determinism contract): integer-
 # quantized vectors (round(x*1e6)) whose dot products are exact in float64,
-# centroids = the 32 lowest vec_ids, cosm = micro-cosine to each centroid,
-# rn = probe rank (1 = assignment bucket)
+# centroids = the 32 LOWEST vec_ids (true ORDER BY ... LIMIT, mirroring the
+# Spark side's orderBy().limit() — robust to sparse/offset id spaces),
+# cosm = micro-cosine to each centroid, rn = probe rank (1 = assignment bucket)
 _SQL_IVF = """
 ei AS (SELECT vec_id,
               list_transform(embedding::DOUBLE[], x -> round(x * 1000000)) AS vi,
               embedding::DOUBLE[] AS v
        FROM embeddings),
 cent AS (SELECT vec_id AS cid, vi AS ci, sqrt(list_dot_product(vi, vi)) AS cnorm
-         FROM ei WHERE vec_id < 32),
+         FROM ei QUALIFY row_number() OVER (ORDER BY vec_id) <= 32),
 vc AS (SELECT e.vec_id, c.cid,
               CAST(round(1000000 * list_dot_product(e.vi, c.ci)
                    / (sqrt(list_dot_product(e.vi, e.vi)) * c.cnorm)) AS BIGINT) AS cosm

@@ -137,20 +137,34 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
 def centroid_cos_micro(embeddings: DataFrame, n_centroids: int = 32,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, cosc array<long>): integer micro-cosine of every vector to each
-    of the K seed centroids (the vectors with the K lowest ids).
+    of the K seed centroids (the vectors with the K lowest ids — a true
+    ``ORDER BY id LIMIT K``, not an ``id < K`` filter, so sparse or offset
+    id spaces select a full centroid set too).
+
+    Raises ``ValueError`` if fewer than ``n_centroids`` vectors exist or if
+    any selected centroid has zero norm (a zero centroid makes every
+    micro-cosine to it undefined; callers should drop or re-seed instead).
 
     The kernel is one Arrow-batched float64 matmul against the broadcast
     centroid matrix. All values are exact (see module docstring), so the
-    oracle reproduces the identical array in SQL.
+    oracle reproduces the identical array in SQL. Zero-norm *input* vectors
+    get a deterministic sentinel cosc of all -1_000_000 (below any real
+    cosine) rather than platform-undefined NaN casts.
     """
     cents = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col).orderBy(id_col).collect()
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
+    if len(cents) < n_centroids:
+        raise ValueError(
+            f"need {n_centroids} vectors to seed centroids, found {len(cents)}"
+        )
     Ci = _round_half_away(
         np.array([[float(x) for x in r[vec_col]] for r in cents], dtype=np.float64) * 1e6
     )
     cn = np.sqrt((Ci * Ci).sum(axis=1))
+    if (cn == 0).any():
+        bad = [cents[i][id_col] for i in np.flatnonzero(cn == 0)]
+        raise ValueError(f"zero-norm centroid vectors: ids {bad}")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cosc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -159,8 +173,10 @@ def centroid_cos_micro(embeddings: DataFrame, n_centroids: int = 32,
                 np.stack([np.asarray(v, dtype=np.float64) for v in batch]) * 1e6
             )
             vn = np.sqrt((Vi * Vi).sum(axis=1))
-            x = (1e6 * (Vi @ Ci.T)) / (vn[:, None] * cn[None, :])
+            zero = vn == 0
+            x = (1e6 * (Vi @ Ci.T)) / (np.where(zero, 1.0, vn)[:, None] * cn[None, :])
             r = _round_half_away(x).astype(np.int64)
+            r[zero, :] = -1_000_000  # deterministic sentinel for zero vectors
             yield pd.Series(list(r))
 
     return embeddings.select(F.col(id_col).alias("id"), cosc(F.col(vec_col)).alias("cosc"))

@@ -97,8 +97,9 @@ def window_keys_udf(window_tokens: int):
     B = np.uint64(1099511628211)  # FNV-64 prime as polynomial base
     powers = np.empty(window_tokens, dtype=np.uint64)
     powers[-1] = np.uint64(1)
-    for i in range(window_tokens - 2, -1, -1):
-        powers[i] = powers[i + 1] * B  # wraps mod 2^64
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the hash design
+        for i in range(window_tokens - 2, -1, -1):
+            powers[i] = powers[i + 1] * B
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def wk(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -113,7 +114,8 @@ def window_keys_udf(window_tokens: int):
                     (shingle_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks)
                 )
                 sw = np.lib.stride_tricks.sliding_window_view(th, window_tokens)
-                keys = (sw * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                with np.errstate(over="ignore"):  # intentional mod-2^64 hash
+                    keys = (sw * powers[None, :]).sum(axis=1, dtype=np.uint64)
                 out.append(np.unique(keys).view(np.int64).tolist())
             yield pd.Series(out, dtype=object)
 

@@ -25,10 +25,10 @@ as column expressions over the assembled arrays.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.skew import salted_collect_sets
+from ..operators.skew import salted_collect_sets, salted_count
 
 
 def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
@@ -41,13 +41,23 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
     NULL minhash ⇒ not deduplicable (optional; default everyone deduplicable).
 
     Skew: cluster-level member/source sets go through salted two-stage
-    aggregation (operators/skew.py). ``max_members_inline`` caps the
-    per-record transitive fill: records in clusters larger than the cap
-    keep only DIRECT neighbors in ``duplicates`` (plus a placeholder
-    sourceUidChain and ``truncated=true``) — the reference materializes the
-    full adjacency per doc (painless 198-211), which is O(size²) rows per
-    cluster and cannot be allowed for boilerplate mega-clusters at 100 TB.
-    Default None preserves exact reference semantics.
+    aggregation (operators/skew.py), and — like pipeline.py stage 5 —
+    components larger than ``max_members_inline`` are filtered out BEFORE
+    the collect, so a mega-cluster's member set is never materialized even
+    transiently. ``max_members_inline`` also caps the per-record adjacency:
+    records in clusters larger than the cap keep at most that many DIRECT
+    neighbors in ``duplicates`` (deterministic: the lowest neighbor ids),
+    plus a placeholder sourceUidChain, empty ``sources``, and
+    ``truncated=true`` — the reference materializes the full adjacency per
+    doc (painless 198-211), which is O(size²) rows per cluster and cannot
+    be allowed for boilerplate mega-clusters at 100 TB.
+
+    ``isDuplicate``/``hasTransDuplicate`` are derived from cluster size and
+    FULL direct degree, so truncation never flips them: a truncated member
+    with no surviving inline neighbors still reports isDuplicate=true
+    (it IS in a duplicate cluster — reference painless 216-218).
+
+    Default ``max_members_inline=None`` preserves exact reference semantics.
     """
     # direct neighbors with provenance, both directions (the reference's
     # adjacency list is symmetric: each member stores its own copy)
@@ -59,23 +69,67 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
 
     member_of = labels.select(F.col("node").alias("url"), "component")
     src_of = corpus.select("url", "source", F.col("session").alias("own_session"))
-    cluster_agg = salted_collect_sets(
-        member_of.join(src_of.select("url", "source"), "url", "left"),
+
+    # cluster sizes first (salted count — cheap, no arrays); member/source
+    # sets are collected only for components under the cap
+    sizes = salted_count(member_of, ["component"], F.col("url"), n_salts).select(
+        "component", F.col("count").alias("_csize")
+    )
+    if max_members_inline is not None:
+        sizes = sizes.localCheckpoint()  # feeds both the filter and the join
+        small_members = member_of.join(
+            sizes.filter(F.col("_csize") <= max_members_inline).select("component"),
+            "component", "left_semi",
+        )
+    else:
+        small_members = member_of
+    cluster_sets = salted_collect_sets(
+        small_members.join(src_of.select("url", "source"), "url", "left"),
         ["component"], ["url", "source"], F.col("url"), n_salts,
     ).select(
         "component",
         F.col("set_url").alias("members"),
         F.col("set_source").alias("sources"),
-        F.col("count").alias("_csize"),
     )
 
-    direct = nbrs.groupBy("url").agg(
-        F.collect_list(F.struct("nbr", "rules", "session")).alias("_direct"),
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("rules")))).alias("duplicateRules"),
-    )
+    if max_members_inline is None:
+        # exact path: one aggregation, full adjacency per record
+        direct = nbrs.groupBy("url").agg(
+            F.collect_list(F.struct("nbr", "rules", "session")).alias("_direct"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("rules")))).alias("duplicateRules"),
+            F.count(F.lit(1)).alias("_n_direct_full"),
+        )
+    else:
+        # capped path: full degree + distinct rule names aggregate map-side
+        # (count and small collect_set both partial-combine); the inline
+        # struct list is built only from each hot record's lowest
+        # max_members_inline neighbors, so no reducer row ever holds a
+        # mega-cluster adjacency
+        deg = nbrs.groupBy("url").agg(F.count(F.lit(1)).alias("_n_direct_full"))
+        rules_agg = (
+            nbrs.select("url", F.explode("rules").alias("_r"))
+            .groupBy("url")
+            .agg(F.array_sort(F.collect_set("_r")).alias("duplicateRules"))
+        )
+        hot_urls = deg.filter(F.col("_n_direct_full") > max_members_inline).select("url")
+        w = Window.partitionBy("url").orderBy("nbr")
+        capped_hot = (
+            nbrs.join(hot_urls, "url", "left_semi")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_members_inline)
+            .drop("_rn")
+        )
+        inline_rows = nbrs.join(hot_urls, "url", "left_anti").unionByName(capped_hot)
+        direct = (
+            inline_rows.groupBy("url")
+            .agg(F.collect_list(F.struct("nbr", "rules", "session")).alias("_direct"))
+            .join(deg, "url", "left")
+            .join(rules_agg, "url", "left")
+        )
 
     base = (
-        member_of.join(cluster_agg, "component")
+        member_of.join(sizes, "component")
+        .join(cluster_sets, "component", "left")
         .join(direct, "url", "left")
         .join(src_of, "url", "left")
     )
@@ -114,17 +168,18 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
         "url",
         F.col("component").alias("cluster_id"),
         chain.alias("sourceUidChain"),
-        F.coalesce(F.col("sources"), F.array()).alias("sources"),
+        F.coalesce(F.col("sources"), F.array().cast("array<string>")).alias("sources"),
         duplicates.alias("duplicates"),
         F.coalesce(F.col("duplicateRules"), F.array().cast("array<string>")).alias("duplicateRules"),
         F.col("own_session"),
         truncated.alias("truncated"),
-    )
-    out = out.withColumn("isDuplicate", F.size("duplicates") > 0)
-    # A9 predicates (helpers/deduplicates/helpers.js:120-149)
-    out = out.withColumn(
-        "hasTransDuplicate",
-        F.exists(F.col("duplicates"), lambda d: F.size(d["rules"]) == 0),
+        # flags from cluster size + FULL degree, not the (possibly capped)
+        # inline arrays — truncation never flips them (painless 216-218:
+        # membership in a >=2 cluster IS isDuplicate; a member with more
+        # cluster-mates than direct neighbors has a transitive duplicate)
+        (F.col("_csize") >= 2).alias("isDuplicate"),
+        ((F.col("_csize") - 1) > F.coalesce(F.col("_n_direct_full"), F.lit(0)))
+        .alias("hasTransDuplicate"),
     )
     if signatures is not None:
         dedupable = signatures.select(

@@ -60,7 +60,7 @@ def run_pipeline(
     workdir: str,
     cfg: DedupConfig | None = None,
     resume: bool = True,
-    star_reduce: bool = False,
+    star_reduce: bool | str = "auto",
     engines: tuple[str, ...] = ("minhash",),
     enriched: bool = False,
 ) -> dict[str, DataFrame]:
@@ -73,6 +73,15 @@ def run_pipeline(
     /root/reference/src/getBaseRequest.js:1-8) with `matched_queries`
     provenance (deduplicateQueryBuilder.js:56-67).
 
+    ``star_reduce``: the DEFAULT ("auto", ≡ True) star-reduces LSH buckets
+    larger than ``cfg.band_bucket_cap`` — smaller buckets keep exact
+    cliques — so the out-of-the-box plan is the one that survives a
+    boilerplate mega-bucket at 100× (O(b) star edges instead of O(b²)
+    pairs; connectivity preserved, see operators/lsh.py). Pass ``False``
+    to opt out into exact pair semantics for every bucket (the exotic
+    path: quadratic in the hottest bucket, only safe on curated corpora).
+    Bucket-size stats are logged to lineage on every non-resumed run.
+
     Returns the stage tables: corpus, signatures, candidate_edges,
     cluster_labels, clusters.
     """
@@ -83,9 +92,14 @@ def run_pipeline(
     unknown = set(engines) - {"minhash", "simhash", "substring"}
     if unknown:
         raise ValueError(f"unknown engines: {unknown}")
-    # engine selection participates in the stage-invalidation hash: a resume
-    # must never reuse candidate_edges computed under a different engine set
-    config_hash = f"{cfg.config_hash()}-{'+'.join(sorted(engines))}"
+    star_threshold = None if star_reduce is False else cfg.band_bucket_cap
+    # engine selection + bucket-reduction mode participate in the
+    # stage-invalidation hash: a resume must never reuse candidate_edges
+    # computed under a different engine set or star/exact mode
+    config_hash = (
+        f"{cfg.config_hash()}-{'+'.join(sorted(engines))}"
+        f"-star{int(star_threshold is not None)}"
+    )
     cat = StageCatalog(spark, workdir, config_hash)
     out: dict[str, DataFrame] = {}
 
@@ -128,11 +142,32 @@ def run_pipeline(
         engine_counters: dict = {}
         if "minhash" in engines:
             bands = band_table(sigs, cfg)
-            cands = candidate_pairs(
-                bands, cfg,
-                star_reduce_threshold=cfg.band_bucket_cap if star_reduce else None,
+            # no-silent-caps: the bucket-size profile rides into lineage on
+            # every run (one map-side-combined aggregation over the band
+            # table), so a mega-bucket is visible whether or not star
+            # reduction rewired it
+            bstats = (
+                bands.groupBy("band_id", "band_hash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.count(F.lit(1)).alias("n_buckets"),
+                    F.max("n").alias("max_bucket"),
+                    F.sum((F.col("n") > cfg.band_bucket_cap).cast("long")).alias("hot_buckets"),
+                    F.sum(F.expr("n * (n - 1) div 2")).alias("clique_pairs_if_exact"),
+                )
+                .collect()[0]
             )
-            if star_reduce:
+            engine_counters.update(
+                {
+                    "lsh_n_buckets": int(bstats["n_buckets"]),
+                    "lsh_max_bucket": int(bstats["max_bucket"] or 0),
+                    "lsh_hot_buckets": int(bstats["hot_buckets"] or 0),
+                    "lsh_clique_pairs_if_exact": int(bstats["clique_pairs_if_exact"] or 0),
+                    "lsh_star_threshold": star_threshold,
+                }
+            )
+            cands = candidate_pairs(bands, cfg, star_reduce_threshold=star_threshold)
+            if star_threshold is not None:
                 # star reduction trades pair recall in mega-buckets for
                 # O(b) edges (lsh.py docstring) — make the trade observable:
                 # pre-verification candidate count rides into lineage

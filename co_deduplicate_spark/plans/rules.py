@@ -116,8 +116,14 @@ def rule_pairs(docs: DataFrame, rules: list[Rule], derived: dict[str, Column],
         for c in rule.non_empty:
             record = record.filter(_present(c))
             if flags_col:
-                # P14: the record's own flagged fields count as absent
-                record = record.filter(~F.array_contains(F.col(flags_col), F.lit(c)))
+                # P14: the record's own flagged fields count as absent.
+                # NULL-safe: a NULL flags array means "unflagged" (the
+                # reference treats an absent _ignored field as no flags,
+                # documentsManager.js:206-218) — a bare ~array_contains
+                # would evaluate NULL and silently drop the record.
+                record = record.filter(
+                    ~F.coalesce(F.array_contains(F.col(flags_col), F.lit(c)), F.lit(False))
+                )
         cand = base
         for c in rule.is_empty:
             cand = cand.filter(~_present(c))

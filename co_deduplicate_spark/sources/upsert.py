@@ -170,14 +170,17 @@ def bulk_create(table: UpsertTable, docs: DataFrame,
     upserted keyed by ``table.key`` (the reference keys bulk items by
     ``technical.internalId``, buildCreateBody at 129-141).
 
-    ``validators`` maps error-name → boolean Column (True = row OK).
+    ``validators`` maps error-name → boolean Column (True = row OK). A
+    validator that evaluates to NULL (e.g. ``length(col) > 0`` on a NULL
+    field) counts as FAILED — unknown must reject, not silently accept
+    (validators therefore need not be null-safe themselves).
     Returns counters {accepted, rejected}; ``throw_on_error`` mirrors the
     reference's optional throw (documentsManager.js:122-124) after the
     side-channel is fully written — nothing is lost either way.
     """
     errors = F.filter(
         F.array(*[
-            F.when(~cond, F.lit(name)).otherwise(F.lit(None))
+            F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)).otherwise(F.lit(None))
             for name, cond in validators.items()
         ]),
         lambda x: x.isNotNull(),

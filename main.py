@@ -30,8 +30,10 @@ def parse_args(argv):
     p.add_argument("--engines", default="minhash",
                    help="comma list of minhash,simhash,substring (default minhash)")
     p.add_argument("--no-resume", action="store_true", help="ignore existing stage manifests")
-    p.add_argument("--star-reduce", action="store_true",
-                   help="star-reduce mega LSH buckets (connectivity-preserving skew cap)")
+    p.add_argument("--exact-buckets", action="store_true",
+                   help="opt OUT of the default mega-bucket star reduction: emit exact "
+                        "pair cliques for every LSH bucket (quadratic in the hottest "
+                        "bucket — only safe on curated corpora)")
     p.add_argument("--enriched", action="store_true",
                    help="also write the per-record enriched table (business view "
                         "upserted into <workdir>/documents_enriched)")
@@ -71,8 +73,9 @@ def main(argv=None) -> int:
     t0 = time.time()
     out = run_pipeline(
         spark, pages, args.workdir, cfg,
-        resume=not args.no_resume, star_reduce=args.star_reduce, engines=engines,
-        enriched=args.enriched,
+        resume=not args.no_resume,
+        star_reduce=False if args.exact_buckets else "auto",
+        engines=engines, enriched=args.enriched,
     )
     from pyspark.sql import functions as F
 

@@ -75,3 +75,51 @@ def test_assignment_deterministic(emb):
     b = {r.id: tuple(r.cosc) for r in centroid_cos_micro(emb, 32).collect()}
     assert a == b
     assert all(len(v) == 32 for v in a.values())
+
+
+def test_centroids_sparse_offset_ids(emb):
+    """Centroid selection is a true ORDER BY id LIMIT K: shifting every
+    vec_id by +1000 (sparse/offset id space, nothing < n_centroids) must
+    select the same 32 vectors and produce identical assignments."""
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    a = {r.id - 1000: tuple(r.cosc) for r in centroid_cos_micro(shifted, 32).collect()}
+    b = {r.id: tuple(r.cosc) for r in centroid_cos_micro(emb, 32).collect()}
+    assert a == b
+
+
+def test_centroids_raise_when_too_few(emb):
+    with pytest.raises(ValueError, match="need 32"):
+        centroid_cos_micro(emb.limit(8), 32)
+
+
+def test_zero_norm_centroid_rejected(emb):
+    elem = emb.schema["embedding"].dataType
+    dim = len(emb.first()["embedding"])
+    zeroed = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 3,
+               F.array(*[F.lit(0.0) for _ in range(dim)]).cast(elem))
+        .otherwise(F.col("embedding")),
+    )
+    with pytest.raises(ValueError, match="zero-norm centroid"):
+        centroid_cos_micro(zeroed, 32)
+
+
+def test_zero_vector_gets_sentinel(emb):
+    """A zero-norm non-centroid vector gets the deterministic -1_000_000
+    sentinel cosc (never NaN casts); all other vectors are unaffected."""
+    elem = emb.schema["embedding"].dataType
+    dim = len(emb.first()["embedding"])
+    sample = emb.filter(F.col("vec_id") < 40)
+    doctored = sample.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 35,
+               F.array(*[F.lit(0.0) for _ in range(dim)]).cast(elem))
+        .otherwise(F.col("embedding")),
+    )
+    got = {r.id: tuple(r.cosc) for r in centroid_cos_micro(doctored, 32).collect()}
+    want = {r.id: tuple(r.cosc) for r in centroid_cos_micro(sample, 32).collect()}
+    assert got[35] == (-1_000_000,) * 32
+    assert {k: v for k, v in got.items() if k != 35} == {
+        k: v for k, v in want.items() if k != 35
+    }

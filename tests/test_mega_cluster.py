@@ -37,8 +37,9 @@ def pages(spark):
 
 
 def test_mega_cluster_capped_not_silent(spark, pages, tmp_path):
+    # NO star_reduce flag: the DEFAULT plan must be the 100×-safe one
     wk = str(tmp_path / "wk")
-    out = run_pipeline(spark, pages, wk, CFG, star_reduce=True)
+    out = run_pipeline(spark, pages, wk, CFG)
     clusters = out["clusters"]
 
     mega = clusters.filter(F.col("size") >= N_MEGA).collect()
@@ -57,15 +58,23 @@ def test_mega_cluster_capped_not_silent(spark, pages, tmp_path):
     for gold in golden_minhash_clusters(N_NORMAL):
         assert frozenset(gold) in got_members, f"lost cluster {sorted(gold)}"
 
-    # no-silent-caps: lineage records the capped cluster
+    # no-silent-caps: lineage records the capped cluster AND the bucket
+    # profile that triggered star reduction (routed every run)
     lineage = [json.loads(line) for line in open(f"{wk}/lineage.jsonl")]
     clusters_rec = [r for r in lineage if r["stage"] == "clusters"][-1]
     assert clusters_rec["capped_clusters"] == 1
     assert clusters_rec["max_cluster_size"] >= N_MEGA
+    edges_rec = [r for r in lineage if r["stage"] == "candidate_edges"][-1]
+    assert edges_rec["lsh_max_bucket"] >= N_MEGA
+    assert edges_rec["lsh_hot_buckets"] >= 1
+    assert edges_rec["lsh_star_threshold"] == CFG.band_bucket_cap
+    # the whole point: the star-reduced candidate set is O(b), not O(b²)
+    assert edges_rec["minhash_candidates_pre_verify"] < 20 * (N_MEGA + N_NORMAL)
+    assert edges_rec["lsh_clique_pairs_if_exact"] > N_MEGA * (N_MEGA - 1) // 2
 
 
 def test_business_view_truncates_mega(spark, pages, tmp_path):
-    out = run_pipeline(spark, pages, str(tmp_path / "wk2"), CFG, star_reduce=True)
+    out = run_pipeline(spark, pages, str(tmp_path / "wk2"), CFG)
     view = business_view(
         out["corpus"], out["cluster_labels"], out["candidate_edges"],
         max_members_inline=100,
@@ -75,8 +84,14 @@ def test_business_view_truncates_mega(spark, pages, tmp_path):
     for r in mega_rows:
         assert r["truncated"] is True
         assert r["sourceUidChain"].startswith("!truncated:")
-        # direct neighbors only — bounded by star-reduced degree, not cluster size
-        assert len(r["duplicates"]) < N_MEGA
+        # inline adjacency capped at max_members_inline, not cluster size
+        assert len(r["duplicates"]) <= 100
+        # truncation must never flip the duplicate flags: every mega member
+        # is in a >=2 cluster, and every leaf (all but the star hub, which
+        # IS directly connected to everyone) has transitive duplicates
+        assert r["isDuplicate"] is True
+        if r["url"] != "https://mega.example.org/p/0":  # the star hub (min url)
+            assert r["hasTransDuplicate"] is True
     # normal records keep exact reference semantics
     normal = view.filter(~F.col("url").startswith("https://mega.example.org/"))
     assert normal.filter(F.col("truncated")).count() == 0

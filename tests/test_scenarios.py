@@ -36,7 +36,8 @@ def rec(uid, genre="Article", doi=None, pmid=None, title=None, host_title=None,
         xissn=None, eissn=None, isbn=None, volume=None, issue=None, page=None,
         year=None, langs=(), flags=()):
     return (uid, genre, doi, pmid, title, host_title, xissn, eissn, isbn,
-            volume, issue, page, year, list(langs), list(flags))
+            volume, issue, page, year, list(langs),
+            list(flags) if flags is not None else None)
 
 
 FIXTURES = [
@@ -80,6 +81,10 @@ FIXTURES = [
         volume="1", issue="1", page="1", year="2020"),
     rec("istex$j2", title="Hard Negative", host_title="Nature",
         volume="2", issue="1", page="1", year="2020"),
+    # 11. NULL quality_flags (the reference's absent _ignored field) must
+    # behave exactly like an empty array — unflagged, rules apply
+    rec("a$k1", doi="10.6/k", pmid="444", flags=None),
+    rec("b$k2", doi="10.6/k", pmid="444", flags=None),
 ]
 
 EXPECTED = {
@@ -89,6 +94,7 @@ EXPECTED = {
     ("hal$d1", "istex$d2"): ["Article : 2Collation:TiC+xissn+volume+issue+page+annee"],
     ("hal$g1", "istex$g2"): ["Chapitre : 1ID:isbn+TiC"],
     ("a$i1", "b$i2"): ["Article : 1ID:doi+pmid"],
+    ("a$k1", "b$k2"): ["Article : 1ID:doi+pmid"],
 }
 
 

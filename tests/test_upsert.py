@@ -99,6 +99,27 @@ def test_bulk_create_error_side_channel(spark, tbl, tmp_path):
     assert ("b", ["empty_val"]) in rej
 
 
+def test_bulk_create_null_evaluating_validator_rejects(spark, tbl, tmp_path):
+    """A validator that evaluates to NULL (length(NULL) > 0) must count as
+    FAILED — unknown rejects; NULL-field rows land in the side channel,
+    never silently in the table."""
+    from pyspark.sql import functions as F
+
+    from co_deduplicate_spark.sources.upsert import bulk_create
+
+    docs = spark.createDataFrame(
+        [("a", "ok"), ("b", None)], "url string, val string"
+    )
+    rej_dir = str(tmp_path / "rej_null")
+    stats = bulk_create(tbl, docs, {"empty_val": F.length(F.col("val")) > 0},
+                        rejected_dir=rej_dir)
+    assert stats == {"accepted": 1, "rejected": 1}
+    assert {r.url for r in tbl.read().collect()} == {"a"}
+    rej = [(r["url"], list(r["_errors"]))
+           for r in spark.read.parquet(rej_dir).select("url", "_errors").collect()]
+    assert rej == [("b", ["empty_val"])]
+
+
 def test_bulk_create_throw_after_side_channel(spark, tbl, tmp_path):
     import pytest as _pytest
     from pyspark.sql import functions as F
