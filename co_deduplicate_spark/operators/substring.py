@@ -123,7 +123,7 @@ def window_keys_udf(window_tokens: int):
 
 
 def suffix_window_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                        window_tokens: int = 30) -> DataFrame:
+                        window_tokens: int = 30, max_df: int | None = None) -> DataFrame:
     """Pairs sharing any exact window of ``window_tokens`` normalized tokens
     — the general duplicated-passage detector (the suffix-array use case).
 
@@ -131,14 +131,43 @@ def suffix_window_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     kernel above); pairs agreeing on any window key are emitted with the
     count of shared distinct windows (equal to the string-window count
     barring ~2⁻⁶⁴ hash collisions — the oracle joins on window strings).
-    At scale the window table is corpus × 1 rolling keys, and hot windows
-    (boilerplate) are handled by the same salt/AQE machinery as LSH bands.
+
+    ``max_df=None`` (default) is exhaustive. ``max_df=N`` is the hot-window
+    cost control for boilerplate at scale: a window shared by k docs emits
+    C(k,2) join rows, so a site-wide footer on 10⁶ pages is 5·10¹¹ pairs —
+    AQE splits partitions but cannot shrink that quadratic candidate set.
+    With the cap, window keys whose document frequency exceeds N are
+    dropped from the join entirely (the jaccard_pairs max_df pattern,
+    operators/jaccard.py). Trade-off, stated plainly: a pair whose ONLY
+    shared windows are ubiquitous boilerplate is missed, and surviving
+    pairs' ``shared_windows`` counts exclude dropped windows. The dropped
+    key count is logged — never silent.
     """
     wk = window_keys_udf(window_tokens)
     windows = (
         docs.select(F.col(id_col).alias("doc"), wk(F.col(text_col)).alias("_wkeys"))
         .select("doc", F.explode("_wkeys").alias("wkey"))
     )
+    if max_df is not None:
+        import logging
+
+        # three consumers below (df agg + both join sides) — materialize the
+        # Arrow kernel once instead of re-running it per consumer
+        windows = windows.localCheckpoint()
+        # df per key aggregates map-side (count combine); the hot list is
+        # tiny by definition (keys with df > cap)
+        hot = (
+            windows.groupBy("wkey")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("wkey")
+            .localCheckpoint()
+        )
+        logging.getLogger(__name__).info(
+            "suffix_window_pairs max_df=%d: dropping %d hot window keys "
+            "from candidate generation", max_df, hot.count(),
+        )
+        windows = windows.join(hot, "wkey", "left_anti")
     a = windows.alias("a")
     b = windows.alias("b")
     return (
