@@ -18,8 +18,9 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class DedupConfig:
     # bump when kernel semantics change (participates in config_hash so
-    # resumed runs never mix signature generations) — v2: shingle-simhash
-    engine_version: str = "2"
+    # resumed runs never mix signature generations) — v2: shingle-simhash,
+    # v3: corpus stage emits quality_flags
+    engine_version: str = "3"
 
     # --- shingling / MinHash (engine 1) ---
     shingle_k: int = 3            # tokens per shingle
@@ -52,6 +53,13 @@ class DedupConfig:
     # multi-GB chain); they get a placeholder chain + truncated=true, and
     # the capped count is logged to lineage (no silent truncation)
     chain_max_members: int = 10_000
+
+    # --- ingest quality flags (reference: ES `_ignored`,
+    #     documentsManager.js:206-218) ---
+    # a field is FLAGGED (value present but unusable — rules treat it as
+    # absent, P14) when: text longer than max_doc_chars, or lang present
+    # but not a plausible BCP-47-ish tag
+    max_doc_chars: int = 1_000_000
 
     # --- session semantics (reference: technical.sessionName) ---
     session_name: str = "batch-0"

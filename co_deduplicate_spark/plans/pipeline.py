@@ -63,15 +63,22 @@ def run_pipeline(
     star_reduce: bool | str = "auto",
     engines: tuple[str, ...] = ("minhash",),
     enriched: bool = False,
+    rule_spec=None,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the dedup pipeline with the selected engines.
 
-    ``engines`` ⊆ {"minhash", "simhash", "substring"} — the three
-    interoperable candidate engines (BASELINE.json north_star). Their edges
-    are unioned with per-pair rule provenance before clustering, the batch
-    analogue of the reference's rule disjunction (`minimum_should_match:1`,
-    /root/reference/src/getBaseRequest.js:1-8) with `matched_queries`
-    provenance (deduplicateQueryBuilder.js:56-67).
+    ``engines`` ⊆ {"minhash", "simhash", "substring", "rules"} — the three
+    interoperable similarity engines (BASELINE.json north_star) plus the
+    config-driven metadata rule engine (the reference's actual core: its
+    rule disjunction IS its candidate stage, getBaseRequest.js:1-8). All
+    engines' edges are unioned with per-pair rule provenance before
+    clustering, the batch analogue of `minimum_should_match:1` with
+    `matched_queries` provenance (deduplicateQueryBuilder.js:56-67).
+
+    ``rule_spec``: a :class:`~co_deduplicate_spark.plans.rules.RuleEngineSpec`
+    for the "rules" engine; defaults to the web-page scenario
+    (plans/scenarios.py::page_rules_spec), which consumes the stage-1
+    ``quality_flags`` column as its P14 `_ignored` gate.
 
     ``star_reduce``: the DEFAULT ("auto", ≡ True) star-reduces LSH buckets
     larger than ``cfg.band_bucket_cap`` — smaller buckets keep exact
@@ -89,33 +96,65 @@ def run_pipeline(
     engines = tuple(e for e in engines if e)
     if not engines:
         raise ValueError("at least one engine required")
-    unknown = set(engines) - {"minhash", "simhash", "substring"}
+    unknown = set(engines) - {"minhash", "simhash", "substring", "rules"}
     if unknown:
         raise ValueError(f"unknown engines: {unknown}")
+    if "rules" in engines and rule_spec is None:
+        from .scenarios import page_rules_spec
+
+        rule_spec = page_rules_spec()
     star_threshold = None if star_reduce is False else cfg.band_bucket_cap
-    # engine selection + bucket-reduction mode participate in the
-    # stage-invalidation hash: a resume must never reuse candidate_edges
-    # computed under a different engine set or star/exact mode
+    # engine selection + bucket-reduction mode + rule config participate in
+    # the stage-invalidation hash: a resume must never reuse candidate_edges
+    # computed under a different engine set, star/exact mode, or rule set
     config_hash = (
         f"{cfg.config_hash()}-{'+'.join(sorted(engines))}"
         f"-star{int(star_threshold is not None)}"
     )
+    if "rules" in engines:
+        config_hash += f"-rules{rule_spec.config_key()}"
     cat = StageCatalog(spark, workdir, config_hash)
     out: dict[str, DataFrame] = {}
 
-    # Stage 1: extraction + per-page metadata ------------------------------
+    # Stage 1: extraction + per-page metadata + quality flags --------------
+    # quality_flags lists FIELD NAMES whose values are present but unusable
+    # — the batch analogue of ES populating `_ignored` on malformed fields
+    # at index time (documentsManager.js:206-218). The rules engine treats
+    # flagged fields as absent (P14); flag counts ride into lineage.
     if resume and cat.is_complete("corpus"):
         corpus = cat.read("corpus")
     else:
+        text = extracted_text(F.col("html"))
+        lang = F.col("lang")
+        quality_flags = F.filter(
+            F.array(
+                # oversize document: value exists but would be rejected by
+                # the index (ignore_above analogue)
+                F.when(F.length(text) > cfg.max_doc_chars, F.lit("text")),
+                # malformed language tag: present but not BCP-47-shaped
+                F.when(
+                    lang.isNotNull()
+                    & (F.length(F.trim(lang)) > 0)
+                    & ~F.trim(lang).rlike(r"^[a-zA-Z]{2,3}([-_][a-zA-Z0-9]{2,8})?$"),
+                    F.lit("lang"),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
         corpus = pages.select(
             F.col("url"),
-            extracted_text(F.col("html")).alias("text"),
-            F.col("lang"),
+            text.alias("text"),
+            lang,
             _source_expr(F.col("url")).alias("source"),
             _session_expr(F.col("warc_ts")).alias("session"),
+            quality_flags.alias("quality_flags"),
         )
         corpus = cat.write("corpus", corpus)
-        cat.log_lineage("corpus", {"rows_out": cat.manifest("corpus")["rows"]})
+        flagged = corpus.select(
+            F.sum((F.size("quality_flags") > 0).cast("long")).alias("n")
+        ).collect()[0]["n"]
+        cat.log_lineage("corpus", {"rows_out": cat.manifest("corpus")["rows"],
+                                   "flagged_records": int(flagged or 0)})
     out["corpus"] = corpus
 
     # Stage 2: MinHash signatures -----------------------------------------
@@ -211,6 +250,22 @@ def run_pipeline(
                     F.greatest("inner", "outer").alias("dst"),
                     F.lit(1.0).alias("score"),
                     F.lit(f"substring-containment:min{cfg.substring_min_tokens}").alias("rule"),
+                )
+            )
+        if "rules" in engines:
+            from .rules import rule_pairs
+
+            rp = rule_pairs(
+                corpus, list(rule_spec.rules), rule_spec.derived(),
+                id_col="url", genre_col=rule_spec.genre_col,
+                flags_col=rule_spec.flags_col,
+            )
+            # one provenance row per (pair, rule name) — the reference's
+            # matched_queries become first-class edges in the same union
+            per_engine.append(
+                rp.select(
+                    "src", "dst", F.lit(1.0).alias("score"),
+                    F.explode("rules").alias("rule"),
                 )
             )
         union = per_engine[0]

@@ -51,6 +51,7 @@ matches, then canonicalized to (src=min, dst=max) and distinct-ed.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 from itertools import product
 
@@ -78,6 +79,36 @@ class Rule:
     non_empty: tuple[str, ...] = ()
     is_empty: tuple[str, ...] = ()
     genres: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class RuleEngineSpec:
+    """A complete rule-engine configuration for the batch pipeline — the
+    analogue of the reference's corhal-config package (rule definitions +
+    scenario dispatch, loaded at deduplicateQueryBuilder.js:2).
+
+    ``derived`` is a zero-arg factory returning the key-column expressions
+    (factory, not Columns, so the spec stays hashable/comparable and the
+    expressions bind to the session that runs them). ``name`` + rule names
+    form ``config_key()``, which joins the pipeline's stage-invalidation
+    hash — resumed runs never reuse candidate edges computed under a
+    different rule set.
+    """
+
+    name: str
+    rules: tuple[Rule, ...]
+    derived: Callable[[], dict[str, Column]]
+    genre_col: str | None = None
+    flags_col: str | None = None
+
+    def config_key(self) -> str:
+        import hashlib
+
+        payload = self.name + "|" + "|".join(
+            f"{r.name}:{r.keys}:{r.array_keys}:{r.non_empty}:{r.is_empty}:{r.genres}"
+            for r in self.rules
+        ) + f"|{self.genre_col}|{self.flags_col}"
+        return hashlib.sha256(payload.encode()).hexdigest()[:12]
 
 
 def _present(col: str) -> Column:

@@ -99,3 +99,45 @@ def match_records(records: DataFrame, id_col: str = "uid") -> DataFrame:
     genre-guarded, quality-flag-gated."""
     return rule_pairs(records, scenario_rules(), derived_keys(),
                       id_col=id_col, genre_col="genre", flags_col="flags")
+
+
+# ---------------------------------------------------------------------------
+# web-page scenario: the rule config the PIPELINE runs when engines include
+# "rules" — metadata rules over the corpus stage's (url, text, lang, source,
+# session, quality_flags) schema, quality-gated by the ingest flags (P14)
+# ---------------------------------------------------------------------------
+
+def _page_derived() -> dict[str, Column]:
+    from pyspark.sql import functions as F
+
+    from ..functions.normalize import tokens_expr
+
+    toks = tokens_expr(F.col("text"))
+    return {
+        "fp": F.md5(norm_expr(F.col("text"))),
+        "tok12": F.md5(F.concat_ws(" ", F.slice(toks, 1, 12))),
+        "lang_n": F.lower(F.trim(F.col("lang"))),
+        "flags": F.col("quality_flags"),
+    }
+
+
+def page_rules_spec():
+    """Default :class:`RuleEngineSpec` for web pages. Tier-1 = normalized
+    full-text fingerprint; tier-2 = language + 12-token prefix fingerprint
+    (the collation analogue). Both require usable ``text`` — records whose
+    text failed ingest quality checks (quality_flags contains 'text') are
+    skipped as query records, the reference's `_ignored` gate
+    (deduplicateQueryBuilder.js:36-38)."""
+    from .rules import RuleEngineSpec
+
+    return RuleEngineSpec(
+        name="web-pages-v1",
+        rules=(
+            Rule("Page : 1ID:fingerprint", keys=("fp",), non_empty=("text",)),
+            Rule("Page : 2Collation:lang+prefix12", keys=("lang_n", "tok12"),
+                 non_empty=("text", "lang")),
+        ),
+        derived=_page_derived,
+        genre_col=None,
+        flags_col="flags",
+    )
