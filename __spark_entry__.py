@@ -462,6 +462,71 @@ def q_business_view_enriched(spark, sf_dir):
     )
 
 
+def q_incremental_session_merge(spark, sf_dir):
+    """G2/G4/G5 eviction + merge semantics (streaming/incremental.py ≙
+    helpers/deduplicates/helpers.js:51-96 + painless 191-196), end-to-end
+    against a recursive-CTE DuckDB mirror.
+
+    Deterministic two-session fixture derived from `documents`: session s0
+    indexed docs with doc_id % 3 != 0. Its stored edge set is (a) the
+    exhaustive shingle-Jaccard pairs among old docs, all rule-carrying,
+    plus (b) planted 3-chains d—(d+3)—(d+6) for anchors d % 25 == 13 (all
+    three same residue mod 3, hence all old) where the TAIL edge carries
+    NO rules — the reference's transitive adjacency entries (painless
+    198-211). Session s1 crawls the % 3 == 0 docs. The merge must (a) add
+    verified edges touching new docs, (b) keep old rule-carrying edges as
+    connectivity, (c) EVICT members whose only connectivity was an
+    other-session rule-less edge (at sf0.01 anchor 413 is touched by new
+    doc 45, so 419 is evicted to a singleton — label-visibly), and
+    (d) leave untouched components' labels bit-identical. Output: every
+    doc's final (doc_id, cluster_id)."""
+    from co_deduplicate_spark.streaming.incremental import incremental_update
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("url"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("url"), "text"
+    )
+    old_pairs = jaccard_pairs(
+        old, id_col="url", text_col="text",
+        threshold=CFG.jaccard_threshold, shingle_k=CFG.shingle_k, fold=ASCII_FOLD,
+    )
+    ids = docs.select(F.col("doc_id").alias("id"))
+    anchors = (
+        ids.filter((F.col("id") % 25 == 13) & (F.col("id") % 3 != 0))
+        .join(ids.select((F.col("id") - 3).alias("id")), "id", "left_semi")
+        .join(ids.select((F.col("id") - 6).alias("id")), "id", "left_semi")
+        .select(F.col("id").alias("d"))
+    )
+    planted = (
+        anchors.select(
+            F.col("d").alias("src"), (F.col("d") + 3).alias("dst"),
+            F.array(F.lit("chain-rule")).alias("rules"),
+        )
+        .unionByName(
+            anchors.select(
+                (F.col("d") + 3).alias("src"), (F.col("d") + 6).alias("dst"),
+                F.array().cast("array<string>").alias("rules"),
+            )
+        )
+    )
+    old_edges = (
+        old_pairs.select("src", "dst", F.array(F.lit("seed-rule")).alias("rules"))
+        .unionByName(planted)
+        .withColumn("session", F.lit("s0"))
+    )
+    old_labels = attach_singletons(
+        connected_components(old_edges.select("src", "dst"), cfg=CFG),
+        old.select(F.col("url").alias("node")), "node",
+    )
+    out = incremental_update(old, old_edges, old_labels, new, CFG, current_session="s1")
+    return out["labels"].select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """A1/S4: exact-dedup survivor set (min doc_id per normalized content)."""
     from co_deduplicate_spark.operators.exact import dedup_keep_first
@@ -591,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "suffix_window_pairs": q_suffix_window_pairs,
         "session_predicates": q_session_predicates,
+        "incremental_session_merge": q_incremental_session_merge,
         "business_view_enriched": q_business_view_enriched,
         "dedup_keep_first": q_dedup_keep_first,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -836,6 +902,69 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": f"""
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5({_SQL_NORM})
+        """,
+        # mirror of streaming/incremental.py::incremental_update over the
+        # deterministic two-session fixture (see q_incremental_session_merge):
+        # old CC over ALL s0 edges, merge, session-evidence filter (rules or
+        # current session), scoped re-CC, untouched components carried over
+        "incremental_session_merge": f"""
+            WITH RECURSIVE pairs AS ({_SQL_SHINGLE_PAIRS}),
+            anchors AS (
+              SELECT d.doc_id AS d FROM documents d
+              JOIN documents m ON m.doc_id = d.doc_id + 3
+              JOIN documents e ON e.doc_id = d.doc_id + 6
+              WHERE d.doc_id % 25 = 13 AND d.doc_id % 3 <> 0),
+            old_edges0 AS (
+              SELECT src, dst, 1 AS has_rules
+              FROM pairs WHERE src % 3 <> 0 AND dst % 3 <> 0
+              UNION ALL SELECT d, d + 3, 1 FROM anchors
+              UNION ALL SELECT d + 3, d + 6, 0 FROM anchors),
+            old_edges AS (
+              SELECT src, dst, max(has_rules) AS has_rules
+              FROM old_edges0 GROUP BY src, dst),
+            osym AS (SELECT src AS u, dst AS v FROM old_edges
+                     UNION SELECT dst, src FROM old_edges),
+            oreach(a, b) AS (
+                SELECT u, v FROM osym
+              UNION
+                SELECT r.a, s.v FROM oreach r JOIN osym s ON r.b = s.u),
+            ocomp AS (SELECT a AS doc, least(a, min(b)) AS comp FROM oreach GROUP BY a),
+            old_docs AS (SELECT doc_id AS doc FROM documents WHERE doc_id % 3 <> 0),
+            old_labels AS (SELECT d.doc, coalesce(c.comp, d.doc) AS comp
+                           FROM old_docs d LEFT JOIN ocomp c ON c.doc = d.doc),
+            new_edges AS (SELECT src, dst FROM pairs WHERE src % 3 = 0 OR dst % 3 = 0),
+            all_edges AS (
+              SELECT src, dst, max(has_rules) AS has_rules, max(sess) AS sess
+              FROM (SELECT src, dst, has_rules, 0 AS sess FROM old_edges
+                    UNION ALL
+                    SELECT src, dst, 1 AS has_rules, 1 AS sess FROM new_edges)
+              GROUP BY src, dst),
+            -- explicit DISTINCT wrappers: inside a WITH RECURSIVE clause
+            -- DuckDB 1.0 evaluates these plain UNIONs as UNION ALL
+            touched AS (SELECT DISTINCT n FROM (
+              SELECT src AS n FROM new_edges UNION ALL SELECT dst FROM new_edges)),
+            affected AS (SELECT DISTINCT l.comp FROM old_labels l JOIN touched t ON l.doc = t.n),
+            scope AS (SELECT DISTINCT n FROM (
+              SELECT doc AS n FROM old_labels WHERE comp IN (SELECT comp FROM affected)
+              UNION ALL SELECT n FROM touched
+              UNION ALL SELECT doc_id FROM documents WHERE doc_id % 3 = 0)),
+            live AS (SELECT src, dst FROM all_edges WHERE has_rules = 1 OR sess = 1),
+            scoped AS (SELECT DISTINCT src, dst FROM live
+                       WHERE src IN (SELECT n FROM scope) OR dst IN (SELECT n FROM scope)),
+            ssym AS (SELECT src AS u, dst AS v FROM scoped
+                     UNION SELECT dst, src FROM scoped),
+            sreach(a, b) AS (
+                SELECT u, v FROM ssym
+              UNION
+                SELECT r.a, s.v FROM sreach r JOIN ssym s ON r.b = s.u),
+            scomp AS (SELECT a AS doc, least(a, min(b)) AS comp FROM sreach GROUP BY a),
+            relabeled AS (SELECT s.n AS doc, coalesce(c.comp, s.n) AS comp
+                          FROM scope s LEFT JOIN scomp c ON c.doc = s.n),
+            untouched AS (SELECT doc, comp FROM old_labels
+                          WHERE comp NOT IN (SELECT comp FROM affected))
+            SELECT doc AS doc_id, comp AS cluster_id FROM untouched
+            UNION ALL
+            SELECT doc AS doc_id, comp AS cluster_id FROM relabeled
         """,
         "embedding_dup_pairs": f"""
             WITH {_SQL_IVF}

@@ -40,6 +40,7 @@ HEADLINE = [
     "containment_pairs",
     "suffix_window_pairs",
     "session_predicates",
+    "incremental_session_merge",
     "business_view_enriched",
     "ann_cosine_topk",
     "ann_ivf_topk",
