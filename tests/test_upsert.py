@@ -57,6 +57,50 @@ def test_crash_leaves_readers_on_old_snapshot(spark, tbl):
     assert {r.val for r in tbl.read().collect()} == {"2"}
 
 
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """O(touched) contract: an upsert leaves every bucket that contains no
+    updated key pointing at its ORIGINAL version directory — the files are
+    never copied, so they stay byte-identical across unrelated upserts."""
+    import hashlib
+    from pathlib import Path
+
+    tbl = UpsertTable(spark, str(tmp_path / "bt"), key="url", n_buckets=8)
+    tbl.upsert(_df(spark, [(f"k{i}", "v1") for i in range(64)]))
+    m1 = tbl._manifest()
+    assert m1["n_buckets"] == 8 and len(m1["buckets"]) == 8
+
+    def file_hashes(rel):
+        d = Path(tbl.dir) / rel
+        return {p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+                for p in sorted(d.glob("*.parquet"))}
+
+    before = {b: file_hashes(rel) for b, rel in m1["buckets"].items()}
+    tbl.upsert(_df(spark, [("k3", "v2")]))
+    m2 = tbl._manifest()
+    touched = [b for b, rel in m2["buckets"].items() if rel != m1["buckets"][b]]
+    assert len(touched) == 1, f"exactly one bucket rewritten, got {touched}"
+    for b, rel in m2["buckets"].items():
+        if b not in touched:
+            assert rel == m1["buckets"][b]  # carried forward by reference
+            assert file_hashes(rel) == before[b]  # bytes untouched
+    # and the merge itself is correct
+    got = {r.url: r.val for r in tbl.read().collect()}
+    assert got == {f"k{i}": ("v2" if i == 3 else "v1") for i in range(64)}
+
+
+def test_delete_touches_only_own_buckets(spark, tmp_path):
+    tbl = UpsertTable(spark, str(tmp_path / "bd"), key="url", n_buckets=8)
+    tbl.upsert(_df(spark, [(f"k{i}", "x") for i in range(64)]))
+    m1 = tbl._manifest()
+    tbl.delete_by_id(["k5"])
+    m2 = tbl._manifest()
+    changed = [b for b in m1["buckets"]
+               if m2["buckets"].get(b) != m1["buckets"][b]]
+    assert len(changed) == 1
+    assert m2["rows"] == 63
+    assert "k5" not in {r.url for r in tbl.read().collect()}
+
+
 def test_drop(spark, tbl):
     tbl.upsert(_df(spark, [("a", "1")]))
     tbl.drop()
