@@ -230,6 +230,26 @@ def q_lang_guess(spark, sf_dir):
     return docs.select("doc_id", guess.alias("lang_guess"))
 
 
+def q_token_counts(spark, sf_dir):
+    """Text-analysis: token counting two ways — whitespace tokens and a
+    BPE-ish regex segmentation (letter runs / digit runs / single
+    punctuation marks, the GPT-2-pattern skeleton) — all JVM-side
+    regexp_extract_all, zero Python. The per-doc token count is THE
+    pre-training-cost denominator at 100 TB, so it must stream in
+    whole-stage codegen."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_bpe_distinct"),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[^\x20-\x7E]", "")))
+        .alias("n_non_printable"),
+    )
+
+
 def q_token_jaccard_pairs(spark, sf_dir):
     """P4/P5 normalized-equality generalized: exhaustive unigram-set Jaccard
     via inverted-index join."""
@@ -644,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_clusters": q_exact_dup_clusters,
         "doc_profile": q_doc_profile,
         "lang_guess": q_lang_guess,
+        "token_counts": q_token_counts,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -706,6 +727,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN es >= en THEN 'es'
                         ELSE 'en' END AS lang_guess
             FROM hits
+        """,
+        "token_counts": r"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bpe
+              FROM documents)
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_ws_tokens,
+                   len(bpe) AS n_bpe_tokens,
+                   len(list_distinct(bpe)) AS n_bpe_distinct,
+                   (length(text) - length(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))) AS n_non_printable
+            FROM b
         """,
         "token_jaccard_pairs": f"""
             WITH toks AS ({_SQL_TOKS}),

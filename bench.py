@@ -9,9 +9,14 @@ Runs the headline queries + the flagship pages-dedup pipeline at
    "queries": {name: sec, ...}, "sf": ..., "docs_per_sec_pipeline": ...}
 
 Env knobs:
-  SPARK_GRAFT_CPUS          executor threads (default 32)
+  SPARK_GRAFT_CPUS          executor threads (default 16 — the hardware-
+                            ceiling probe showed this hypervisor delivers
+                            ~18 effective cores; local[16] is the stable
+                            comparison point, PLANS.md round-2 study)
   SPARK_GRAFT_SF_DIR        testdata dir (default sf0.1)
   SPARK_GRAFT_BENCH_PAGES   synthetic pages for the pipeline leg (default 20000)
+  SPARK_GRAFT_BENCH_REPEATS best-of-N per query + pipeline (default 3 —
+                            the VM shows ±2x noise; best-of damps it)
   SPARK_GRAFT_BENCH_ONLY_PIPELINE  if "1", skip the query battery (scaling runs)
 """
 
@@ -46,6 +51,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_dup_pairs",
     "doc_profile",
+    "token_counts",
     "lang_guess",
     "exact_dup_clusters",
     "events_top_type",
@@ -57,8 +63,9 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     only_pipeline = os.environ.get("SPARK_GRAFT_BENCH_ONLY_PIPELINE") == "1"
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -73,10 +80,19 @@ def main() -> None:
 
     if not only_pipeline:
         qs = em.queries()
-        for name in HEADLINE:
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+        # best-of-N FULL PASSES: within a pass the battery shares the
+        # verified-edge checkpoint exactly like a real run (first consumer
+        # pays), and the cache is cleared between passes so every pass is
+        # independent; per-query result = min across passes (VM noise ±2x,
+        # memory/bench-noise-protocol)
+        for _ in range(repeats):
+            em._VERIFIED_CACHE.clear()
+            for name in HEADLINE:
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                if name not in timings or dt < timings[name]:
+                    timings[name] = round(dt, 3)
 
     # flagship pages pipeline: generation + caching excluded (input prep),
     # extract→signatures→LSH→verify→CC→clusters timed end-to-end incl. stage IO
@@ -90,14 +106,16 @@ def main() -> None:
         pages.count()
     # stage tables on tmpfs: measure the engine, not root-device writeback
     wk_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    wk = tempfile.mkdtemp(prefix="bench_pipeline_", dir=wk_base)
-    try:
-        t0 = time.time()
-        out = run_pipeline(spark, pages, wk, resume=False)
-        out["clusters"].count()
-        pipeline_sec = time.time() - t0
-    finally:
-        shutil.rmtree(wk, ignore_errors=True)
+    pipeline_sec = float("inf")
+    for _ in range(repeats):
+        wk = tempfile.mkdtemp(prefix="bench_pipeline_", dir=wk_base)
+        try:
+            t0 = time.time()
+            out = run_pipeline(spark, pages, wk, resume=False)
+            out["clusters"].count()
+            pipeline_sec = min(pipeline_sec, time.time() - t0)
+        finally:
+            shutil.rmtree(wk, ignore_errors=True)
     timings["pages_pipeline"] = round(pipeline_sec, 3)
     docs_per_sec = round(n_pages / pipeline_sec, 1)
 
@@ -111,6 +129,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "repeats_best_of": repeats,
                 "pipeline_pages": n_pages,
                 "docs_per_sec_pipeline": docs_per_sec,
             }
