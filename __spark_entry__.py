@@ -250,6 +250,46 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    """Text-analysis: web-text quality heuristics (the Gopher-rule-style
+    pre-training filter battery) as pure JVM expressions — token count,
+    mean token length, digit ratio, stopword ratio, and the resulting
+    keep/drop gate. Integer ppm (div) encodings keep the cross-engine hash
+    exact; NULL ratios on empty docs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"), fold=ASCII_FOLD)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("_chars"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("_digits"),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("_tok_chars"),
+        F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("long").alias("_stop"),
+    )
+    scored = base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("CASE WHEN n_tokens > 0 THEN (_tok_chars * 1000000) div n_tokens END")
+        .alias("mean_token_len_ppm"),
+        F.expr("CASE WHEN _chars > 0 THEN (_digits * 1000000) div _chars END")
+        .alias("digit_ppm"),
+        F.expr("CASE WHEN n_tokens > 0 THEN (_stop * 1000000) div n_tokens END")
+        .alias("stopword_ppm"),
+    )
+    return scored.withColumn(
+        "quality_ok",
+        F.coalesce(
+            (F.col("n_tokens") >= 50)
+            & (F.col("n_tokens") <= 100_000)
+            & (F.col("mean_token_len_ppm") >= 3_000_000)
+            & (F.col("mean_token_len_ppm") <= 10_000_000)
+            & (F.col("digit_ppm") <= 200_000),
+            F.lit(False),
+        ),
+    )
+
+
 def q_token_jaccard_pairs(spark, sf_dir):
     """P4/P5 normalized-equality generalized: exhaustive unigram-set Jaccard
     via inverted-index join."""
@@ -665,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile": q_doc_profile,
         "lang_guess": q_lang_guess,
         "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -739,6 +780,28 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(bpe)) AS n_bpe_distinct,
                    (length(text) - length(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))) AS n_non_printable
             FROM b
+        """,
+        "quality_score": f"""
+            WITH toks AS ({_SQL_TOKS}),
+            base AS (
+              SELECT d.doc_id,
+                     length(d.text) AS chars,
+                     length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS digits,
+                     len(t.ts) AS n_tokens,
+                     list_sum(list_transform(t.ts, x -> length(x)))::BIGINT AS tok_chars,
+                     len(list_filter(t.ts, x -> list_contains({STOPWORDS['en']!r}, x)))::BIGINT AS stop
+              FROM documents d JOIN toks t ON t.doc_id = d.doc_id),
+            scored AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens > 0 THEN (tok_chars * 1000000) // n_tokens END AS mean_token_len_ppm,
+                     CASE WHEN chars > 0 THEN (digits * 1000000) // chars END AS digit_ppm,
+                     CASE WHEN n_tokens > 0 THEN (stop * 1000000) // n_tokens END AS stopword_ppm
+              FROM base)
+            SELECT *,
+                   coalesce(n_tokens >= 50 AND n_tokens <= 100000
+                            AND mean_token_len_ppm BETWEEN 3000000 AND 10000000
+                            AND digit_ppm <= 200000, false) AS quality_ok
+            FROM scored
         """,
         "token_jaccard_pairs": f"""
             WITH toks AS ({_SQL_TOKS}),

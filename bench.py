@@ -52,6 +52,7 @@ HEADLINE = [
     "embedding_dup_pairs",
     "doc_profile",
     "token_counts",
+    "quality_score",
     "lang_guess",
     "exact_dup_clusters",
     "events_top_type",

@@ -92,6 +92,27 @@ def test_quality_flags_computed_at_ingest_and_gate_rules(spark, tmp_path):
     assert corpus_rec["flagged_records"] == 3
 
 
+def test_rules_plan_is_pure_equi_join(spark):
+    """Scale guarantee: every rule variant must block as a shuffle-hash /
+    sort-merge equi-join on derived key columns — never a theta join or
+    cartesian product (the whole point of the key-space-duplication
+    execution model, plans/rules.py module docstring)."""
+    from co_deduplicate_spark.plans.rules import rule_pairs
+    from co_deduplicate_spark.plans.scenarios import page_rules_spec
+
+    docs = synth_pages(spark, 100, seed=7).selectExpr(
+        "url", "text", "lang", "CAST(array() AS array<string>) AS quality_flags"
+    )
+    spec = page_rules_spec()
+    plan = (
+        rule_pairs(docs, list(spec.rules), spec.derived(), id_col="url",
+                   flags_col=spec.flags_col)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_rule_spec_invalidates_resume(spark, tmp_path):
     from co_deduplicate_spark.plans.rules import Rule, RuleEngineSpec
     from co_deduplicate_spark.plans.scenarios import _page_derived
