@@ -169,6 +169,10 @@ def run_pipeline(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("minhash").isNull().cast("long")).alias("nulls"),
         ).collect()[0]
+        # counters into the MANIFEST too (stage 3's band-row lineage derives
+        # from them without re-scanning)
+        cat.mark_complete("signatures", rows=int(counters["rows"]),
+                          counters={"non_deduplicable": int(counters["nulls"])})
         cat.log_lineage("signatures", {"rows_out": counters["rows"],
                                        "non_deduplicable": int(counters["nulls"])})
     out["signatures"] = sigs
@@ -180,38 +184,68 @@ def run_pipeline(
         per_engine = []
         engine_counters: dict = {}
         if "minhash" in engines:
+            from ..operators.lsh import hot_buckets
+
             bands = band_table(sigs, cfg)
-            # no-silent-caps: the bucket-size profile rides into lineage on
-            # every run (one map-side-combined aggregation over the band
-            # table), so a mega-bucket is visible whether or not star
-            # reduction rewired it
-            bstats = (
-                bands.groupBy("band_id", "band_hash")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .select(
-                    F.count(F.lit(1)).alias("n_buckets"),
-                    F.max("n").alias("max_bucket"),
-                    F.sum((F.col("n") > cfg.band_bucket_cap).cast("long")).alias("hot_buckets"),
-                    F.sum(F.expr("n * (n - 1) div 2")).alias("clique_pairs_if_exact"),
-                )
-                .collect()[0]
-            )
-            engine_counters.update(
-                {
-                    "lsh_n_buckets": int(bstats["n_buckets"]),
-                    "lsh_max_bucket": int(bstats["max_bucket"] or 0),
-                    "lsh_hot_buckets": int(bstats["hot_buckets"] or 0),
-                    "lsh_clique_pairs_if_exact": int(bstats["clique_pairs_if_exact"] or 0),
-                    "lsh_star_threshold": star_threshold,
-                }
-            )
-            cands = candidate_pairs(bands, cfg, star_reduce_threshold=star_threshold)
             if star_threshold is not None:
-                # star reduction trades pair recall in mega-buckets for
-                # O(b) edges (lsh.py docstring) — make the trade observable:
-                # pre-verification candidate count rides into lineage
-                cands = cands.localCheckpoint()
-                engine_counters["minhash_candidates_pre_verify"] = cands.count()
+                # no-silent-caps: hot-bucket profile rides into lineage on
+                # every run. ONE map-side-combined aggregation over the band
+                # table (shared with candidate_pairs via the checkpointed
+                # hot table); everything else derives from the tiny hot set
+                # plus free manifest counters — the earlier full-histogram
+                # pass cost a second 32×n-row aggregation per run.
+                hot = hot_buckets(bands, star_threshold)
+                hstats = hot.select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("bucket_n").alias("max_n"),
+                    F.sum(F.expr("bucket_n * (bucket_n - 1) div 2")).alias("pairs"),
+                ).collect()[0]
+                engine_counters.update(
+                    {
+                        "lsh_hot_buckets": int(hstats["n"]),
+                        "lsh_max_hot_bucket": int(hstats["max_n"] or 0),
+                        "lsh_hot_clique_pairs_avoided": int(hstats["pairs"] or 0),
+                        "lsh_star_threshold": star_threshold,
+                        "lsh_band_rows": (
+                            cat.manifest("signatures")["rows"]
+                            - int(cat.manifest("signatures")["counters"].get("non_deduplicable", 0))
+                        ) * cfg.lsh_bands,
+                    }
+                )
+                cands = candidate_pairs(bands, cfg, star_reduce_threshold=star_threshold,
+                                        hot=hot)
+                if engine_counters["lsh_hot_buckets"] > 0:
+                    # star reduction actually engaged: it trades pair recall
+                    # in mega-buckets for O(b) edges (lsh.py docstring) —
+                    # make the trade observable: pre-verification candidate
+                    # count rides into lineage. (Clean corpora skip this
+                    # count job; the hot profile proves nothing was reduced.)
+                    cands = cands.localCheckpoint()
+                    engine_counters["minhash_candidates_pre_verify"] = cands.count()
+            else:
+                # exact opt-out: the caller chose the quadratic path — spend
+                # a full bucket histogram pass to WARN about what that costs
+                bstats = (
+                    bands.groupBy("band_id", "band_hash")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select(
+                        F.count(F.lit(1)).alias("n_buckets"),
+                        F.max("n").alias("max_bucket"),
+                        F.sum((F.col("n") > cfg.band_bucket_cap).cast("long")).alias("hot"),
+                        F.sum(F.expr("n * (n - 1) div 2")).alias("clique_pairs"),
+                    )
+                    .collect()[0]
+                )
+                engine_counters.update(
+                    {
+                        "lsh_n_buckets": int(bstats["n_buckets"]),
+                        "lsh_max_bucket": int(bstats["max_bucket"] or 0),
+                        "lsh_hot_buckets": int(bstats["hot"] or 0),
+                        "lsh_clique_pairs_exact_mode": int(bstats["clique_pairs"] or 0),
+                        "lsh_star_threshold": None,
+                    }
+                )
+                cands = candidate_pairs(bands, cfg, star_reduce_threshold=None)
             verified = verify_candidates(
                 cands, corpus, id_col="url", text_col="text",
                 threshold=cfg.jaccard_threshold, shingle_k=cfg.shingle_k,

@@ -65,12 +65,12 @@ def test_mega_cluster_capped_not_silent(spark, pages, tmp_path):
     assert clusters_rec["capped_clusters"] == 1
     assert clusters_rec["max_cluster_size"] >= N_MEGA
     edges_rec = [r for r in lineage if r["stage"] == "candidate_edges"][-1]
-    assert edges_rec["lsh_max_bucket"] >= N_MEGA
+    assert edges_rec["lsh_max_hot_bucket"] >= N_MEGA
     assert edges_rec["lsh_hot_buckets"] >= 1
     assert edges_rec["lsh_star_threshold"] == CFG.band_bucket_cap
     # the whole point: the star-reduced candidate set is O(b), not O(b²)
     assert edges_rec["minhash_candidates_pre_verify"] < 20 * (N_MEGA + N_NORMAL)
-    assert edges_rec["lsh_clique_pairs_if_exact"] > N_MEGA * (N_MEGA - 1) // 2
+    assert edges_rec["lsh_hot_clique_pairs_avoided"] > N_MEGA * (N_MEGA - 1) // 2
 
 
 def test_business_view_truncates_mega(spark, pages, tmp_path):
