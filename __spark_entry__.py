@@ -694,6 +694,129 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+def q_media_bmp_stats(spark, sf_dir):
+    """Multimodal image path under the bit-exact oracle: a deterministic
+    7×9 24-bit BMP per document (pixels a closed-form function of doc_id,
+    operators/multimodal.py::synth_media_blobs), ENCODED to real BMP bytes
+    and DECODED back through the real pure-numpy pixel path
+    (image_channel_stats) inside mapInPandas Arrow batches. Output is
+    integer-exact per-channel pixel sums; the DuckDB mirror reproduces
+    them arithmetically from the pixel formula — proving header parse,
+    row stride/padding (7px ⇒ 3 pad bytes/row), bottom-up flip and
+    BGR→RGB order against an implementation-independent oracle."""
+    from co_deduplicate_spark.operators.multimodal import (
+        image_channel_stats,
+        synth_media_blobs,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = synth_media_blobs(ids, kind="bmp", width=7, height=9)
+    return image_channel_stats(media).select(
+        F.col("media_id").alias("doc_id"), "width", "height",
+        "sum_r", "sum_g", "sum_b",
+    )
+
+
+def q_media_wav_stats(spark, sf_dir):
+    """Multimodal audio path under the bit-exact oracle: deterministic
+    mono 16-bit PCM WAV per document (samples s(i) = ((a·13 + 7919·i) mod
+    4001) − 2000 over n = 64 + doc_id mod 37 samples, a = doc_id mod
+    1009), encoded to real RIFF bytes and decoded back through the real
+    chunk-walking PCM path (audio_sample_stats). Output is integer-exact:
+    sample count, Σ|sample|, strict sign changes — mirrored in closed
+    form by DuckDB over a lateral range join."""
+    from co_deduplicate_spark.operators.multimodal import (
+        audio_sample_stats,
+        synth_media_blobs,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = synth_media_blobs(ids, kind="wav")
+    return audio_sample_stats(media).select(
+        F.col("media_id").alias("doc_id"), "n_samples", "rate",
+        "sum_abs", "n_sign_change",
+    )
+
+
+def q_upsert_lifecycle(spark, sf_dir):
+    """S2/S3/S4/S5/S6/S8 under the oracle: the full write-path lifecycle —
+    createIndiceNx, bulkCreate with per-row validators (rows failing any
+    validator land in the rejected side-channel, documentsManager.js:
+    91-127), deleteById for every url whose doc_id ≡ 0 (mod 7)
+    (documentsManager.js deleteById), then an updateByQuery-style MERGE
+    (+1000 n_chars for lang='en' rows, the Painless-script analogue) —
+    executed against the hash-bucketed snapshot UpsertTable and read back.
+    The DuckDB mirror states the final table declaratively; the delete id
+    list is driver-built from a deterministic range because S2's contract
+    is an explicit id list from the caller, not a predicate."""
+    import os
+    import tempfile
+
+    from co_deduplicate_spark.sources.upsert import UpsertTable, bulk_create
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    tbl = UpsertTable(spark, f"{base}/co_dedup_lifecycle/{tag}", key="url")
+    tbl.drop()  # S6 deleteIndiceIx; next write is S5 createIndiceNx
+    bulk_create(
+        tbl, docs,
+        validators={
+            "text-too-short": F.length("text") >= 100,
+            "lang-missing": F.col("lang").isNotNull() & (F.length("lang") == 2),
+        },
+        rejected_dir=f"{base}/co_dedup_lifecycle/{tag}_rejected",
+    )
+    max_id = docs.agg(F.max(F.col("url").cast("long"))).first()[0]
+    tbl.delete_by_id([str(i) for i in range(0, int(max_id) + 1, 7)])
+    updates = tbl.read().filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    out = tbl.upsert(updates)
+    return out.select(
+        F.col("url").alias("doc_id"), "lang", "source", "n_chars",
+    )
+
+
+def q_stream_dedup_keys(spark, sf_dir):
+    """Streaming exact-tier ingest dedup (streaming/stream_dedup.py ≙ the
+    reference's per-record doTheJob loop, index.js:9-24) under the oracle:
+    documents land in a staging dir with an event-time column, a real
+    Structured-Streaming query (readStream → fingerprint →
+    dropDuplicatesWithinWatermark → memory sink, availableNow trigger)
+    dedups them with bounded state, and the surviving fingerprint set —
+    deterministic even though WHICH row survives per key is not — is
+    compared to DuckDB's DISTINCT md5(normalized text). All events share
+    one watermark window here, so the stream's output is exactly one row
+    per distinct fingerprint."""
+    import os
+    import tempfile
+    import uuid
+
+    from co_deduplicate_spark.streaming.stream_dedup import stream_exact_dedup
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    landing = f"{base}/co_dedup_stream/{tag}/landing"
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 60)
+    )
+    docs.write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    deduped = stream_exact_dedup(spark, landing, schema, watermark="1 hour")
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.select("fp").writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", f"{base}/co_dedup_stream/{tag}/ckpt_{qname}")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select("fp").distinct()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup clusters with chains on sf0.001."""
     return q_cluster_chains(spark, "/root/testdata/sf0.001")
@@ -728,6 +851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
         "nation_revenue": q_nation_revenue,
+        "media_bmp_stats": q_media_bmp_stats,
+        "media_wav_stats": q_media_wav_stats,
+        "upsert_lifecycle": q_upsert_lifecycle,
+        "stream_dedup_keys": q_stream_dedup_keys,
     }
 
 
@@ -1149,5 +1276,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        # pixel formula mirror of synth_media_blobs(kind='bmp'): v(r,c,ch) =
+        # ((doc_id % 1009)*131 + 17r + 29c + 97ch) mod 256 over a 9x7 image.
+        "media_bmp_stats": """
+            WITH px AS (
+              SELECT d.doc_id,
+                     ((d.doc_id % 1009) * 131 + r.r * 17 + c.c * 29) % 256 AS vr,
+                     ((d.doc_id % 1009) * 131 + r.r * 17 + c.c * 29 + 97) % 256 AS vg,
+                     ((d.doc_id % 1009) * 131 + r.r * 17 + c.c * 29 + 194) % 256 AS vb
+              FROM documents d, range(9) r(r), range(7) c(c)
+            )
+            SELECT doc_id, CAST(7 AS INTEGER) AS width, CAST(9 AS INTEGER) AS height,
+                   CAST(sum(vr) AS BIGINT) AS sum_r,
+                   CAST(sum(vg) AS BIGINT) AS sum_g,
+                   CAST(sum(vb) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id
+        """,
+        # sample formula mirror of synth_media_blobs(kind='wav'): s(i) =
+        # ((doc_id % 1009)*13 + 7919i) mod 4001 - 2000, n = 64 + doc_id % 37.
+        "media_wav_stats": """
+            WITH s AS (
+              SELECT d.doc_id,
+                     i.i,
+                     ((d.doc_id % 1009) * 13 + i.i * 7919) % 4001 - 2000 AS v
+              FROM documents d
+              CROSS JOIN range(100) i(i)
+              WHERE i.i < 64 + d.doc_id % 37
+            ),
+            lagged AS (
+              SELECT doc_id, v,
+                     lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s
+            )
+            SELECT doc_id,
+                   count(*) AS n_samples,
+                   CAST(8000 AS INTEGER) AS rate,
+                   CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                   CAST(count(*) FILTER (WHERE sign(v) * sign(pv) < 0) AS BIGINT)
+                     AS n_sign_change
+            FROM lagged GROUP BY doc_id
+        """,
+        # declarative mirror of the bulkCreate(validators) -> deleteById
+        # -> updateByQuery lifecycle executed against the UpsertTable
+        "upsert_lifecycle": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+                   CASE WHEN lang = 'en' THEN n_chars + 1000 ELSE n_chars END
+                     AS n_chars
+            FROM documents
+            WHERE length(text) >= 100
+              AND lang IS NOT NULL AND length(lang) = 2
+              AND doc_id % 7 != 0
+        """,
+        "stream_dedup_keys": f"""
+            SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents
         """,
     }

@@ -59,6 +59,10 @@ HEADLINE = [
     "events_sessions",
     "lineitem_pricing",
     "nation_revenue",
+    "media_bmp_stats",
+    "media_wav_stats",
+    "upsert_lifecycle",
+    "stream_dedup_keys",
 ]
 
 

@@ -88,6 +88,33 @@ def decode_image_meta(media: DataFrame, id_col: str = "media_id",
     return media.select(id_col, blob_col).mapInPandas(op, schema=MEDIA_SCHEMA)
 
 
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 RGB as a bottom-up 24-bit BI_RGB BMP (the inverse
+    of ``_bmp_decode``; the write half of the media pipeline)."""
+    h, w = px.shape[:2]
+    row_size = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up row order
+        line = row[:, ::-1].tobytes()  # RGB→BGR
+        body += line + b"\x00" * (row_size - len(line))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return bytes(header) + bytes(body)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """Encode int16 samples as RIFF/WAVE 16-bit PCM (inverse of ``_wav_decode``)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def _bmp_decode(b: bytes) -> np.ndarray | None:
     """Uncompressed 24-bit BI_RGB BMP → HxWx3 uint8 RGB array (pure numpy)."""
     if len(b) < 54 or b[:2] != b"BM":
@@ -209,6 +236,77 @@ def extract_features(media: DataFrame, id_col: str = "media_id",
     return media.select(id_col, blob_col).mapInPandas(op, schema=FEATURES_SCHEMA)
 
 
+IMAGE_STATS_SCHEMA = (
+    "media_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+)
+
+
+def image_channel_stats(media: DataFrame, id_col: str = "media_id",
+                        blob_col: str = "blob") -> DataFrame:
+    """Integer-exact image statistics via the REAL BMP decode path: per-
+    channel pixel-value sums (uint8 summed as int64 — no float rounding).
+
+    Exists so the media decode path can sit under the bit-exact DuckDB
+    oracle: a corpus whose pixels are a known arithmetic function of the
+    row key decodes to sums the oracle reproduces in closed form, proving
+    header parse, stride/padding handling, bottom-up flip, and BGR→RGB
+    against an implementation-independent mirror. Non-BMP blobs are
+    dropped (count upstream via decode_image_meta.valid)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                px = _bmp_decode(bytes(blob) if blob is not None else b"")
+                if px is None:
+                    continue
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append({"media_id": int(mid), "width": px.shape[1],
+                             "height": px.shape[0], "sum_r": int(sums[0]),
+                             "sum_g": int(sums[1]), "sum_b": int(sums[2])})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"])
+
+    return media.select(id_col, blob_col).mapInPandas(op, schema=IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, n_samples long, rate int, sum_abs long, n_sign_change long"
+)
+
+
+def audio_sample_stats(media: DataFrame, id_col: str = "media_id",
+                       blob_col: str = "blob") -> DataFrame:
+    """Integer-exact audio statistics on the RAW int16 samples (pre-
+    normalization): sample count, sum of |sample|, strict sign changes.
+    Same oracle purpose as ``image_channel_stats`` — proves the RIFF chunk
+    walk + PCM decode against a closed-form DuckDB mirror. Non-WAV blobs
+    are dropped."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                if len(b) < 44 or b[:4] != b"RIFF":
+                    continue
+                wav = _wav_decode(b)
+                if wav is None:
+                    continue
+                raw = np.round(wav[0] * 32768.0).astype(np.int64)
+                sign = np.sign(raw)
+                changes = int(np.sum(sign[1:] * sign[:-1] < 0))
+                rows.append({"media_id": int(mid), "n_samples": len(raw),
+                             "rate": int(wav[1]),
+                             "sum_abs": int(np.abs(raw).sum()),
+                             "n_sign_change": changes})
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "rate", "sum_abs", "n_sign_change"])
+
+    return media.select(id_col, blob_col).mapInPandas(op, schema=AUDIO_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = "media_id long, thumb_w int, thumb_h int, thumb array<int>"
 
 
@@ -235,6 +333,42 @@ def resize_bmp(media: DataFrame, thumb_w: int = 8, thumb_h: int = 8,
             yield pd.DataFrame(rows, columns=["media_id", "thumb_w", "thumb_h", "thumb"])
 
     return media.select(id_col, blob_col).mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def synth_media_blobs(ids: DataFrame, id_col: str = "media_id",
+                      kind: str = "bmp", width: int = 7, height: int = 9,
+                      rate: int = 8000) -> DataFrame:
+    """Deterministic media corpus: per row key, a blob whose content is a
+    closed-form arithmetic function of the key — so decode output is
+    provable against an arithmetic DuckDB oracle (no external data, per
+    the sandbox contract). BMP pixels: v(r,c,ch) = (a*131 + 17r + 29c +
+    97ch) mod 256 with a = id mod 1009, 7×9 (stride 24 ⇒ 3 pad bytes/row —
+    exercises row padding). WAV samples (mono int16): s(i) = ((a*13 +
+    7919i) mod 4001) − 2000 over n = 64 + id mod 37 samples (varying data
+    chunk length)."""
+    if kind not in ("bmp", "wav"):
+        raise ValueError(f"kind must be bmp|wav, got {kind!r}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid in pdf[id_col]:
+                a = int(mid) % 1009
+                if kind == "bmp":
+                    r = np.arange(height)[:, None, None]
+                    c = np.arange(width)[None, :, None]
+                    ch = np.arange(3)[None, None, :]
+                    px = ((a * 131 + r * 17 + c * 29 + ch * 97) % 256).astype(np.uint8)
+                    blobs.append(encode_bmp(px))
+                else:
+                    n = 64 + int(mid) % 37
+                    i = np.arange(n)
+                    s = ((a * 13 + i * 7919) % 4001 - 2000).astype(np.int16)
+                    blobs.append(encode_wav(s, rate=rate))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "blob": blobs})
+
+    return ids.select(id_col).mapInPandas(op, schema="media_id long, blob binary")
 
 
 def exact_media_dedup(media: DataFrame, id_col: str = "media_id",

@@ -6,8 +6,6 @@ without codec libraries.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 import pytest
 
@@ -19,31 +17,8 @@ from co_deduplicate_spark.operators.multimodal import (
     image_features,
     resize_bmp,
 )
-
-
-def make_bmp(px: np.ndarray) -> bytes:
-    """Encode HxWx3 uint8 RGB as a bottom-up 24-bit BI_RGB BMP."""
-    h, w = px.shape[:2]
-    row_size = ((w * 3 + 3) // 4) * 4
-    body = bytearray()
-    for row in px[::-1]:  # bottom-up
-        line = row[:, ::-1].tobytes()  # RGB→BGR
-        body += line + b"\x00" * (row_size - len(line))
-    header = (
-        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
-    )
-    return bytes(header) + bytes(body)
-
-
-def make_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
-    return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+from co_deduplicate_spark.operators.multimodal import encode_bmp as make_bmp
+from co_deduplicate_spark.operators.multimodal import encode_wav as make_wav
 
 
 def test_bmp_roundtrip():
