@@ -724,7 +724,7 @@ def q_media_wav_stats(spark, sf_dir):
     1009), encoded to real RIFF bytes and decoded back through the real
     chunk-walking PCM path (audio_sample_stats). Output is integer-exact:
     sample count, Σ|sample|, strict sign changes — mirrored in closed
-    form by DuckDB over a lateral range join."""
+    form by DuckDB over a bounded range cross join."""
     from co_deduplicate_spark.operators.multimodal import (
         audio_sample_stats,
         synth_media_blobs,

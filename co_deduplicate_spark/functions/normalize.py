@@ -40,8 +40,12 @@ def fold_accents_py(s: str) -> str:
     """NFD-decompose and drop combining marks — ICU-asciifolding-lite.
 
     Matches DuckDB's ``strip_accents`` (utf8proc) on Latin scripts, which is
-    what the oracle uses.
+    what the oracle uses. ASCII input is returned untouched without the
+    per-character pass (folding is the identity there; web corpora are
+    majority-ASCII, so this fast path carries the signature kernels).
     """
+    if s.isascii():
+        return s
     return "".join(c for c in unicodedata.normalize("NFD", s) if unicodedata.category(c) != "Mn")
 
 
@@ -60,7 +64,7 @@ def tokens_py(s: str | None) -> list[str]:
     accent-fold, every non-alphanumeric run becomes a separator."""
     if not s:
         return []
-    return [t for t in re.split(r"[^0-9a-z]+", fold_accents_py(s.lower())) if t]
+    return [t for t in _NON_ALNUM_RE.split(fold_accents_py(s.lower())) if t]
 
 
 @F.pandas_udf(T.StringType())

@@ -35,8 +35,6 @@ from pyspark.sql import types as T
 from ..config import DedupConfig
 from ..functions.normalize import tokens_py
 
-_MERSENNE61 = (1 << 61) - 1
-
 
 def shingles_py(text: str | None, k: int) -> list[str]:
     """Distinct k-token shingles. Shorter-than-k docs collapse to one
@@ -51,8 +49,62 @@ def shingles_py(text: str | None, k: int) -> list[str]:
 
 
 def shingle_hash(s: str) -> int:
-    """Stable 64-bit shingle hash (blake2b-8)."""
+    """Stable 64-bit string hash (blake2b-8)."""
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+# Worker-global token-hash memo. Web-text token frequency is Zipfian, so
+# most lookups hit; the cache persists across Arrow batches in a reused
+# python worker. Determinism is unaffected (pure memoization); the clear()
+# guard bounds memory on adversarial vocabularies.
+_TOKEN_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 1 << 20
+
+
+def token_hash(tok: str) -> int:
+    v = _TOKEN_CACHE.get(tok)
+    if v is None:
+        if len(_TOKEN_CACHE) >= _TOKEN_CACHE_MAX:
+            _TOKEN_CACHE.clear()
+        v = shingle_hash(tok)
+        _TOKEN_CACHE[tok] = v
+    return v
+
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_STEP = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(h: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (wraps mod 2^64 by design)."""
+    h = (h ^ (h >> np.uint64(30))) * _MIX1
+    h = (h ^ (h >> np.uint64(27))) * _MIX2
+    return h ^ (h >> np.uint64(31))
+
+
+def shingle_hashes(toks: list[str], k: int) -> np.ndarray | None:
+    """uint64 hashes of the distinct k-token shingles (whole-doc shingle
+    when len(toks) < k), sorted.
+
+    Replaces hash(join(k tokens)) per shingle with a vectorized splitmix64
+    combination of per-token blake2b hashes: each token is hashed at most
+    once per worker (memoized), and the k-gram combination is k-1 numpy
+    passes over the whole doc — no per-shingle Python. Measured 2.2×
+    faster end-to-end than the per-shingle-blake2b kernel on the synthetic
+    corpus (PLANS.md §15). MinHash only needs a deterministic 64-bit hash
+    of each distinct shingle, not any particular one — candidate recall is
+    re-proven against the exhaustive-Jaccard oracle."""
+    if not toks:
+        return None
+    th = np.fromiter((token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    kk = min(k, len(toks))
+    n = len(toks) - kk + 1
+    with np.errstate(over="ignore"):
+        hs = _splitmix(th[:n].copy())
+        for j in range(1, kk):
+            hs = _splitmix(hs * _STEP ^ th[j : n + j])
+    return np.unique(hs)
 
 
 def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -64,12 +116,12 @@ def _perm_params(cfg: DedupConfig) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_py(text: str | None, cfg: DedupConfig) -> list[int] | None:
     """Pure-Python/numpy reference implementation (unit tests + oracle)."""
-    sh = shingles_py(text, cfg.shingle_k)
-    if not sh:
+    hs = shingle_hashes(tokens_py(text), cfg.shingle_k)
+    if hs is None:
         return None
     a, b = _perm_params(cfg)
-    h = np.array([shingle_hash(s) for s in sh], dtype=np.uint64)
-    sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+    with np.errstate(over="ignore"):
+        sig = (hs[:, None] * a[None, :] + b[None, :]).min(axis=0)
     return sig.view(np.int64).tolist()
 
 
@@ -79,7 +131,9 @@ def minhash_signature_udf(cfg: DedupConfig):
     lineage counter rides along for free).
 
     The permutation matrix is built once per executor (closure capture,
-    small constant).
+    small constant); per-token hashes are memoized worker-globally
+    (token_hash) so the per-doc work is tokenize + k-1 vectorized mixes +
+    the signature min-reduction.
     """
     k = cfg.shingle_k
     a_params, b_params = _perm_params(cfg)
@@ -89,17 +143,16 @@ def minhash_signature_udf(cfg: DedupConfig):
         for batch in texts:
             sigs: list = []
             counts: list = []
-            for t in batch:
-                sh = shingles_py(t, k)
-                counts.append(len(sh))
-                if not sh:
-                    sigs.append(None)
-                    continue
-                h = np.fromiter(
-                    (shingle_hash(s) for s in sh), dtype=np.uint64, count=len(sh)
-                )
-                sig_v = (h[:, None] * a_params[None, :] + b_params[None, :]).min(axis=0)
-                sigs.append(sig_v.view(np.int64))
+            with np.errstate(over="ignore"):
+                for t in batch:
+                    hs = shingle_hashes(tokens_py(t), k)
+                    if hs is None:
+                        counts.append(0)
+                        sigs.append(None)
+                        continue
+                    counts.append(len(hs))
+                    sig_v = (hs[:, None] * a_params[None, :] + b_params[None, :]).min(axis=0)
+                    sigs.append(sig_v.view(np.int64))
             yield pd.DataFrame({"minhash": pd.Series(sigs, dtype=object),
                                 "n_shingles": pd.Series(counts, dtype="int32")})
 

@@ -92,7 +92,7 @@ def window_keys_udf(window_tokens: int):
     Catalyst-HOF form concat'd ~w tokens per offset interpreted; measured
     18.7 s → 3 s on the sf0.1 battery.)"""
     from ..functions.normalize import tokens_py
-    from .minhash import shingle_hash
+    from .minhash import token_hash
 
     B = np.uint64(1099511628211)  # FNV-64 prime as polynomial base
     powers = np.empty(window_tokens, dtype=np.uint64)
@@ -111,7 +111,7 @@ def window_keys_udf(window_tokens: int):
                     out.append([])
                     continue
                 th = np.fromiter(
-                    (shingle_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+                    (token_hash(tok) for tok in toks), dtype=np.uint64, count=len(toks)
                 )
                 sw = np.lib.stride_tricks.sliding_window_view(th, window_tokens)
                 with np.errstate(over="ignore"):  # intentional mod-2^64 hash
