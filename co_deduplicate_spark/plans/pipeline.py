@@ -154,7 +154,8 @@ def run_pipeline(
             F.sum((F.size("quality_flags") > 0).cast("long")).alias("n")
         ).collect()[0]["n"]
         cat.log_lineage("corpus", {"rows_out": cat.manifest("corpus")["rows"],
-                                   "flagged_records": int(flagged or 0)})
+                                   "flagged_records": int(flagged or 0),
+                                   **cat.partition_summary("corpus")})
     out["corpus"] = corpus
 
     # Stage 2: MinHash signatures -----------------------------------------
@@ -174,7 +175,8 @@ def run_pipeline(
         cat.mark_complete("signatures", rows=int(counters["rows"]),
                           counters={"non_deduplicable": int(counters["nulls"])})
         cat.log_lineage("signatures", {"rows_out": counters["rows"],
-                                       "non_deduplicable": int(counters["nulls"])})
+                                       "non_deduplicable": int(counters["nulls"]),
+                                       **cat.partition_summary("signatures")})
     out["signatures"] = sigs
 
     # Stage 3: per-engine candidates + verify + provenance union ----------
@@ -317,7 +319,8 @@ def run_pipeline(
         )
         edges = cat.write("candidate_edges", edges)
         cat.log_lineage("candidate_edges", {"rows_out": cat.manifest("candidate_edges")["rows"],
-                                            "engines": list(engines), **engine_counters})
+                                            "engines": list(engines), **engine_counters,
+                                            **cat.partition_summary("candidate_edges")})
     out["candidate_edges"] = edges
 
     # Stage 4: connected components ---------------------------------------
@@ -327,7 +330,8 @@ def run_pipeline(
         labels = connected_components(edges, cfg=cfg)
         labels = attach_singletons(labels, corpus.select("url"), node_col="url")
         labels = cat.write("cluster_labels", labels)
-        cat.log_lineage("cluster_labels", {"rows_out": cat.manifest("cluster_labels")["rows"]})
+        cat.log_lineage("cluster_labels", {"rows_out": cat.manifest("cluster_labels")["rows"],
+                                           **cat.partition_summary("cluster_labels")})
     out["cluster_labels"] = labels
 
     # Stage 5: cluster table (A3/A4 aggregates + flags) --------------------
@@ -386,7 +390,8 @@ def run_pipeline(
                                      "duplicate_clusters": int(counters["dups"]),
                                      "capped_clusters": int(counters["capped"]),
                                      "max_cluster_size": int(counters["max_size"]),
-                                     "chain_max_members": cfg.chain_max_members})
+                                     "chain_max_members": cfg.chain_max_members,
+                                     **cat.partition_summary("clusters")})
     out["clusters"] = clusters
 
     # Stage 6 (optional): per-record enriched write-back (S3/S8/G4) --------

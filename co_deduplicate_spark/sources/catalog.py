@@ -60,18 +60,51 @@ class StageCatalog:
             return False
         return m.get("config_hash") == self.config_hash and m.get("status") == "complete"
 
+    def _partition_profile(self, path: str) -> dict:
+        """Per-partition lineage from parquet footers (one output file per
+        write partition) — row counts + byte sizes without a Spark job.
+        The skew ratio (max/mean rows) makes a hot partition visible in the
+        manifest the moment a stage lands, which is the observability the
+        100 TB deployment needs before a downstream shuffle ever runs."""
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(path).glob("*.parquet"))
+        per_part = []
+        for f in files:
+            per_part.append(
+                {"file": f.name, "rows": pq.ParquetFile(str(f)).metadata.num_rows,
+                 "bytes": f.stat().st_size}
+            )
+        rows = [p["rows"] for p in per_part]
+        total = sum(rows)
+        profile = {
+            "n_partitions": len(per_part),
+            "rows_total": total,
+            "rows_max": max(rows) if rows else 0,
+            "rows_min": min(rows) if rows else 0,
+            "skew_max_over_mean": round(max(rows) * len(rows) / total, 3)
+            if total else 0.0,
+        }
+        # full detail only while it stays cheap to store; the summary is
+        # always present (a 100k-partition table keeps manifests bounded)
+        if len(per_part) <= 256:
+            profile["partitions"] = per_part
+        return profile
+
     def write(self, name: str, df: DataFrame, counters: dict | None = None) -> DataFrame:
         """Write a stage table + manifest; returns the re-read DataFrame so
         downstream stages consume the materialized (checkpointed) data, not
-        the live lineage."""
+        the live lineage. Row count and the per-partition profile come from
+        the parquet footers (no extra count() job)."""
         path = str(self._table_dir(name))
         df.write.mode("overwrite").parquet(path)
-        rows = self.spark.read.parquet(path).count()
+        profile = self._partition_profile(path)
         manifest = {
             "table": name,
             "config_hash": self.config_hash,
             "status": "complete",
-            "rows": rows,
+            "rows": profile["rows_total"],
+            "partition_profile": profile,
             "counters": counters or {},
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
@@ -83,7 +116,9 @@ class StageCatalog:
 
     def mark_complete(self, name: str, rows: int, counters: dict | None = None) -> None:
         """Manifest-only completion marker for stages whose data lives in a
-        different container (e.g. the UpsertTable-backed enriched stage)."""
+        different container (e.g. the UpsertTable-backed enriched stage).
+        Re-marking a stage already written by ``write`` merges counters and
+        keeps its per-partition profile."""
         self._table_dir(name).mkdir(parents=True, exist_ok=True)
         manifest = {
             "table": name,
@@ -93,7 +128,24 @@ class StageCatalog:
             "counters": counters or {},
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        self._manifest_path(name).write_text(json.dumps(manifest, indent=2))
+        p = self._manifest_path(name)
+        if p.exists():
+            try:
+                prior = json.loads(p.read_text())
+            except (OSError, json.JSONDecodeError):
+                prior = {}
+            if prior.get("config_hash") == self.config_hash:
+                if "partition_profile" in prior:
+                    manifest["partition_profile"] = prior["partition_profile"]
+                manifest["counters"] = {**prior.get("counters", {}),
+                                        **manifest["counters"]}
+        p.write_text(json.dumps(manifest, indent=2))
+
+    def partition_summary(self, name: str) -> dict:
+        """Compact per-partition lineage fields for log_lineage records."""
+        prof = self.manifest(name).get("partition_profile", {})
+        return {k: prof[k] for k in ("n_partitions", "rows_max", "skew_max_over_mean")
+                if k in prof}
 
     def manifest(self, name: str) -> dict:
         return json.loads(self._manifest_path(name).read_text())

@@ -136,3 +136,28 @@ def test_pipeline_enriched_stage(spark, pages, tmp_path):
     v2 = UpsertTable(spark, f"{wk}/documents_enriched")._manifest()["version"]
     assert v1 == v2
     assert out2["enriched"].count() == enr.count()
+
+
+def test_stage_manifests_carry_partition_lineage(spark, pages, tmp_path):
+    """Per-partition lineage (north-rule requirement): every stage manifest
+    records per-output-partition row counts from the parquet footers, and
+    the lineage log carries the skew summary."""
+    import json
+    from pathlib import Path
+
+    wk = tmp_path / "wk_lineage"
+    run_pipeline(spark, pages, str(wk), CFG)
+    for stage in ("corpus", "signatures", "candidate_edges",
+                  "cluster_labels", "clusters"):
+        m = json.loads((wk / stage / "_STAGE_MANIFEST.json").read_text())
+        prof = m["partition_profile"]
+        assert prof["rows_total"] == m["rows"]
+        assert prof["n_partitions"] >= 1
+        assert prof["rows_max"] >= prof["rows_min"]
+        if "partitions" in prof:  # full detail at this scale
+            assert sum(p["rows"] for p in prof["partitions"]) == m["rows"]
+            assert len(prof["partitions"]) == prof["n_partitions"]
+    recs = [json.loads(line) for line in (wk / "lineage.jsonl").read_text().splitlines()]
+    by_stage = {r["stage"]: r for r in recs}
+    assert "skew_max_over_mean" in by_stage["candidate_edges"]
+    assert "n_partitions" in by_stage["signatures"]
