@@ -95,6 +95,50 @@ ranked AS (SELECT vec_id, cid,
            FROM vc)
 """
 
+def _sql_ivf_kmeans(n_iters: int, n_centroids: int = 32, dims: int = 64) -> str:
+    """CTE chain mirroring operators/ann.py::kmeans_centroids: cent0 = the
+    K lowest-vec_id vectors (cid = 0-based position, matching the Spark
+    side's cosc array index), then per iteration (a) assign by integer
+    micro-cosine with lowest-cid tie-break, (b) new centroid component =
+    floor(sum/count) over members' quantized components (exact in float64
+    at oracle scale), empty centroids carried forward. ``dims`` is a
+    constant because DuckDB's range() takes only constants; all testdata
+    embeddings are 64-d (the Spark side is dim-agnostic)."""
+    ctes = [
+        "ei AS (SELECT vec_id, "
+        "list_transform(embedding::DOUBLE[], x -> round(x * 1000000)) AS vi, "
+        "embedding::DOUBLE[] AS v FROM embeddings)",
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vi AS ci "
+        f"FROM ei QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_centroids})",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        ctes += [
+            f"vc{i} AS (SELECT e.vec_id, c.cid, "
+            f"CAST(round(1000000 * list_dot_product(e.vi, c.ci) / "
+            f"(sqrt(list_dot_product(e.vi, e.vi)) * sqrt(list_dot_product(c.ci, c.ci)))) AS BIGINT) AS cosm "
+            f"FROM ei e CROSS JOIN cent{p} c)",
+            f"asg{i} AS (SELECT vec_id, cid FROM vc{i} "
+            f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) = 1)",
+            f"upd{i} AS (SELECT a.cid, d.d, "
+            f"CAST(floor(sum(e.vi[d.d]) / count(*)) AS DOUBLE) AS val "
+            f"FROM asg{i} a JOIN ei e USING (vec_id) CROSS JOIN range(1, {dims + 1}) d(d) "
+            f"GROUP BY a.cid, d.d)",
+            f"newc{i} AS (SELECT cid, list(val ORDER BY d) AS ci FROM upd{i} GROUP BY cid)",
+            f"cent{i} AS (SELECT c.cid, coalesce(n.ci, c.ci) AS ci "
+            f"FROM cent{p} c LEFT JOIN newc{i} n USING (cid))",
+        ]
+    ctes += [
+        f"vc AS (SELECT e.vec_id, c.cid, "
+        f"CAST(round(1000000 * list_dot_product(e.vi, c.ci) / "
+        f"(sqrt(list_dot_product(e.vi, e.vi)) * sqrt(list_dot_product(c.ci, c.ci)))) AS BIGINT) AS cosm "
+        f"FROM ei e CROSS JOIN cent{n_iters} c)",
+        "ranked AS (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) AS rn FROM vc)",
+    ]
+    return ",\n".join(ctes)
+
+
 _SQL_SIMHASH = f"""
 toks AS ({_SQL_TOKS}),
 shs AS ({_SQL_SHINGLES3}),
@@ -694,6 +738,23 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-10 with Lloyd-refined centroids (operators/ann.py::
+    kmeans_centroids, 2 iterations): assignment + per-centroid integer
+    mean update run as mapInPandas partial aggregation (the corpus is
+    never collected), every arithmetic step integer-quantized so the
+    DuckDB mirror reproduces the trained centroids — and therefore the
+    buckets, candidates, and ranking — bit-for-bit. Measured effect on
+    the synthetic embeddings (PLANS.md §14b): recall unchanged vs seed
+    centroids, assignment-bucket skew max/mean 1.66 → 1.47; at web scale
+    the flatter buckets are the win (candidate volume is Σ bucket²)."""
+    from co_deduplicate_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = [r["vec_id"] for r in emb.select("vec_id").filter(F.col("vec_id") < 20).collect()]
+    return ivf_topk(emb, qids, k=10, n_centroids=32, n_probes=4, kmeans_iters=2)
+
+
 def q_media_bmp_stats(spark, sf_dir):
     """Multimodal image path under the bit-exact oracle: a deterministic
     7×9 24-bit BMP per document (pixels a closed-form function of doc_id,
@@ -851,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
         "nation_revenue": q_nation_revenue,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "media_bmp_stats": q_media_bmp_stats,
         "media_wav_stats": q_media_wav_stats,
         "upsert_lifecycle": q_upsert_lifecycle,
@@ -1276,6 +1338,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "ann_ivf_kmeans_topk": f"""
+            WITH {_sql_ivf_kmeans(2)}
+            , asn AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid FROM ranked
+                       WHERE rn <= 4 AND vec_id < 20),
+            cand AS (
+              SELECT p.query_id, a.neighbor_id
+              FROM probes p JOIN asn a USING (cid)
+              WHERE a.neighbor_id <> p.query_id),
+            s AS (
+              SELECT c.query_id, c.neighbor_id,
+                     CAST(ROUND(list_dot_product(q.v, n.v)
+                          / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+                          * 1000000) AS BIGINT) AS cos_micro
+              FROM cand c JOIN ei q ON q.vec_id = c.query_id JOIN ei n ON n.vec_id = c.neighbor_id),
+            r AS (SELECT query_id, neighbor_id, cos_micro,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos_micro DESC, neighbor_id)::INTEGER AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, cos_micro, rank FROM r WHERE rank <= 10
         """,
         # pixel formula mirror of synth_media_blobs(kind='bmp'): v(r,c,ch) =
         # ((doc_id % 1009)*131 + 17r + 29c + 97ch) mod 256 over a 9x7 image.

@@ -59,6 +59,7 @@ HEADLINE = [
     "events_sessions",
     "lineitem_pricing",
     "nation_revenue",
+    "ann_ivf_kmeans_topk",
     "media_bmp_stats",
     "media_wav_stats",
     "upsert_lifecycle",

@@ -134,23 +134,11 @@ def _round_half_away(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
-def centroid_cos_micro(embeddings: DataFrame, n_centroids: int = 32,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, cosc array<long>): integer micro-cosine of every vector to each
-    of the K seed centroids (the vectors with the K lowest ids — a true
-    ``ORDER BY id LIMIT K``, not an ``id < K`` filter, so sparse or offset
-    id spaces select a full centroid set too).
-
-    Raises ``ValueError`` if fewer than ``n_centroids`` vectors exist or if
-    any selected centroid has zero norm (a zero centroid makes every
-    micro-cosine to it undefined; callers should drop or re-seed instead).
-
-    The kernel is one Arrow-batched float64 matmul against the broadcast
-    centroid matrix. All values are exact (see module docstring), so the
-    oracle reproduces the identical array in SQL. Zero-norm *input* vectors
-    get a deterministic sentinel cosc of all -1_000_000 (below any real
-    cosine) rather than platform-undefined NaN casts.
-    """
+def _seed_centroids(embeddings: DataFrame, n_centroids: int,
+                    id_col: str, vec_col: str) -> np.ndarray:
+    """K seed centroids as an integer-micro matrix (the vectors with the K
+    lowest ids — a true ORDER BY id LIMIT K). Raises on short input or a
+    zero-norm centroid (undefined cosine)."""
     cents = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
     )
@@ -165,6 +153,103 @@ def centroid_cos_micro(embeddings: DataFrame, n_centroids: int = 32,
     if (cn == 0).any():
         bad = [cents[i][id_col] for i in np.flatnonzero(cn == 0)]
         raise ValueError(f"zero-norm centroid vectors: ids {bad}")
+    return Ci
+
+
+def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 32,
+                     n_iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Lloyd-refined IVF centroids, bit-deterministic across engines.
+
+    Each iteration: (1) assign every vector to its nearest centroid by the
+    SAME integer micro-cosine + lowest-cid tie-break the query path uses;
+    (2) new centroid component d = floor(Σ member quantized[d] / count) —
+    integer floor of the member mean in quantized space, exact in float64
+    (|Σ| < 2^53), so DuckDB's floor(sum/count) reproduces it bit-for-bit.
+    A centroid with no members keeps its previous position (deterministic).
+
+    Execution shape: assignment + per-centroid partial sums run inside one
+    ``mapInPandas`` pass per iteration (each partition emits at most K
+    partial (sum-vector, count) rows — the K×d combine on the driver is a
+    constant); the corpus is never collected. This is the standard
+    scalable Lloyd layout (partial aggregation, broadcast centroids).
+    """
+    Ci = _seed_centroids(embeddings, n_centroids, id_col, vec_col)
+    vecs = embeddings.select(F.col(vec_col).alias("v"))
+    # int64 partial sums: |component| <= ~2e6 micro, so even 10^12 members
+    # stay below 2^63 — exact, no float53 ceiling on the accumulate path
+    partial_schema = "cid int, cnt long, sums array<long>"
+    for _ in range(n_iters):
+        cn = np.sqrt((Ci * Ci).sum(axis=1))
+        C = Ci  # rebind for closure capture of the CURRENT iteration matrix
+
+        def partials(batches: Iterator[pd.DataFrame], C=C, cn=cn) -> Iterator[pd.DataFrame]:
+            acc_s = np.zeros((C.shape[0], C.shape[1]), dtype=np.int64)
+            acc_n = np.zeros(C.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Vi = _round_half_away(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]]) * 1e6
+                )
+                vn = np.sqrt((Vi * Vi).sum(axis=1))
+                zero = vn == 0
+                x = (1e6 * (Vi @ C.T)) / (np.where(zero, 1.0, vn)[:, None] * cn[None, :])
+                r = _round_half_away(x).astype(np.int64)
+                r[zero, :] = -1_000_000
+                assign = r.argmax(axis=1)  # first max = lowest cid on ties
+                Vq = Vi.astype(np.int64)
+                for cid in np.unique(assign):
+                    m = assign == cid
+                    acc_s[cid] += Vq[m].sum(axis=0)
+                    acc_n[cid] += int(m.sum())
+            nz = np.flatnonzero(acc_n)
+            yield pd.DataFrame({
+                "cid": nz.astype(np.int32),
+                "cnt": acc_n[nz],
+                "sums": [acc_s[c] for c in nz],
+            })
+
+        rows = vecs.mapInPandas(partials, schema=partial_schema).collect()
+        sums = np.zeros(Ci.shape, dtype=np.int64)
+        counts = np.zeros(Ci.shape[0], dtype=np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["sums"], dtype=np.int64)
+            counts[r["cid"]] += r["cnt"]
+        new_Ci = Ci.copy()
+        nz = counts > 0
+        # floor division on int64 == floor(sum/count) for either sign
+        new_Ci[nz] = np.floor_divide(sums[nz], counts[nz, None]).astype(np.float64)
+        norms = np.sqrt((new_Ci * new_Ci).sum(axis=1))
+        new_Ci[norms == 0] = Ci[norms == 0]  # never adopt a degenerate centroid
+        Ci = new_Ci
+    return Ci
+
+
+def centroid_cos_micro(embeddings: DataFrame, n_centroids: int = 32,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       centroids: np.ndarray | None = None) -> DataFrame:
+    """(id, cosc array<long>): integer micro-cosine of every vector to each
+    of the K seed centroids (the vectors with the K lowest ids — a true
+    ``ORDER BY id LIMIT K``, not an ``id < K`` filter, so sparse or offset
+    id spaces select a full centroid set too).
+
+    Raises ``ValueError`` if fewer than ``n_centroids`` vectors exist or if
+    any selected centroid has zero norm (a zero centroid makes every
+    micro-cosine to it undefined; callers should drop or re-seed instead).
+
+    The kernel is one Arrow-batched float64 matmul against the broadcast
+    centroid matrix. All values are exact (see module docstring), so the
+    oracle reproduces the identical array in SQL. Zero-norm *input* vectors
+    get a deterministic sentinel cosc of all -1_000_000 (below any real
+    cosine) rather than platform-undefined NaN casts.
+
+    ``centroids`` overrides seeding with a pre-trained integer-micro
+    matrix (e.g. ``kmeans_centroids`` output).
+    """
+    Ci = _seed_centroids(embeddings, n_centroids, id_col, vec_col) \
+        if centroids is None else np.asarray(centroids, dtype=np.float64)
+    cn = np.sqrt((Ci * Ci).sum(axis=1))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cosc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -209,14 +294,22 @@ def ivf_probes(cos_table: DataFrame, n_probes: int) -> DataFrame:
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
              n_centroids: int = 32, n_probes: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             kmeans_iters: int = 0) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors assigned to the
     query's n_probes nearest centroids; exact rescoring within.
+
+    ``kmeans_iters > 0`` Lloyd-refines the seed centroids first
+    (kmeans_centroids) — better-balanced buckets, higher recall at the
+    same probe budget, still bit-deterministic across engines.
 
     Columns match cosine_topk: query_id, neighbor_id, cos_micro, rank —
     recall against it is asserted in tests (tests/test_ann.py).
     """
-    cos_tbl = centroid_cos_micro(embeddings, n_centroids, id_col, vec_col).localCheckpoint()
+    cents = kmeans_centroids(embeddings, n_centroids, kmeans_iters,
+                             id_col, vec_col) if kmeans_iters else None
+    cos_tbl = centroid_cos_micro(embeddings, n_centroids, id_col, vec_col,
+                                 centroids=cents).localCheckpoint()
     assign = ivf_probes(cos_tbl, 1).select(F.col("id").alias("neighbor_id"), "cid")
     probes = ivf_probes(cos_tbl.filter(F.col("id").isin(query_ids)), n_probes).select(
         F.col("id").alias("query_id"), "cid"
@@ -245,7 +338,8 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
 
 def ivf_dup_pairs(embeddings: DataFrame, threshold_micro: int = 400_000,
                   n_centroids: int = 32, n_probes: int = 2,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  kmeans_iters: int = 0) -> DataFrame:
     """Bucketed near-duplicate pair search: candidates share at least one
     of each side's n_probes nearest centroids; exact cosine filter after.
 
@@ -253,7 +347,10 @@ def ivf_dup_pairs(embeddings: DataFrame, threshold_micro: int = 400_000,
     Σ_buckets (bucket size)² with n_probes·n rows in buckets — linear per
     bucket count, skew handled by the same AQE machinery as LSH bands.
     """
-    cos_tbl = centroid_cos_micro(embeddings, n_centroids, id_col, vec_col).localCheckpoint()
+    cents = kmeans_centroids(embeddings, n_centroids, kmeans_iters,
+                             id_col, vec_col) if kmeans_iters else None
+    cos_tbl = centroid_cos_micro(embeddings, n_centroids, id_col, vec_col,
+                                 centroids=cents).localCheckpoint()
     probed = ivf_probes(cos_tbl, n_probes).select("id", "cid")
     a, b = probed.alias("a"), probed.alias("b")
     cand = (

@@ -7,8 +7,10 @@ blocking over web text, per BASELINE.json north_star: k-shingle sets and
 128-permutation signatures computed per Arrow batch.
 
 Design choices (determinism is a hard requirement — FIXTURES.md §4):
-  * base shingle hash: blake2b(digest_size=8) — stable across processes,
-    partitions, and runs (Python's builtin ``hash`` is salted; NOT used).
+  * base shingle hash: per-token blake2b(digest_size=8) — stable across
+    processes, partitions, and runs (Python's builtin ``hash`` is salted;
+    NOT used) — combined per k-gram with a vectorized splitmix64 mix
+    (shingle_hashes; PLANS.md §14a for the measured speedup).
   * permutations: affine maps ``h -> a*h + b (mod 2^64)`` with odd ``a``.
     Odd-multiplier affine maps are bijections of Z_2^64, i.e. true
     permutations, which is exactly what MinHash needs; numpy uint64
@@ -92,7 +94,7 @@ def shingle_hashes(toks: list[str], k: int) -> np.ndarray | None:
     once per worker (memoized), and the k-gram combination is k-1 numpy
     passes over the whole doc — no per-shingle Python. Measured 2.2×
     faster end-to-end than the per-shingle-blake2b kernel on the synthetic
-    corpus (PLANS.md §15). MinHash only needs a deterministic 64-bit hash
+    corpus (PLANS.md §14a). MinHash only needs a deterministic 64-bit hash
     of each distinct shingle, not any particular one — candidate recall is
     re-proven against the exhaustive-Jaccard oracle."""
     if not toks:

@@ -123,3 +123,55 @@ def test_zero_vector_gets_sentinel(emb):
     assert {k: v for k, v in got.items() if k != 35} == {
         k: v for k, v in want.items() if k != 35
     }
+
+
+def test_kmeans_centroids_match_local_replica(emb):
+    """Lloyd refinement is bit-deterministic: the distributed
+    partial-aggregation path equals a straight numpy replica."""
+    import numpy as np
+
+    from co_deduplicate_spark.operators.ann import _round_half_away, kmeans_centroids
+
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    Vi = _round_half_away(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows]) * 1e6
+    )
+    Ci = Vi[:16].copy()
+    for _ in range(2):
+        cn = np.sqrt((Ci * Ci).sum(axis=1))
+        vn = np.sqrt((Vi * Vi).sum(axis=1))
+        x = (1e6 * (Vi @ Ci.T)) / (vn[:, None] * cn[None, :])
+        assign = _round_half_away(x).astype(np.int64).argmax(axis=1)
+        for c in range(16):
+            m = assign == c
+            if m.sum():
+                Ci[c] = np.floor_divide(
+                    Vi[m].astype(np.int64).sum(axis=0), int(m.sum())
+                ).astype(np.float64)
+    got = kmeans_centroids(emb, n_centroids=16, n_iters=2)
+    assert np.array_equal(got, Ci)
+
+
+def test_kmeans_flattens_assignment_buckets(emb):
+    """The measured benefit of refinement: bucket-size spread shrinks
+    (candidate volume is sum of bucket^2, so the hot bucket is the
+    100 TB straggler). Recall must not collapse either."""
+    import statistics
+
+    from co_deduplicate_spark.operators.ann import ivf_probes, kmeans_centroids
+
+    def sizes(cents):
+        ct = centroid_cos_micro(emb, 16, centroids=cents)
+        return [r["n"] for r in
+                ivf_probes(ct, 1).groupBy("cid").agg(F.count("*").alias("n")).collect()]
+
+    seed = sizes(None)
+    refined = sizes(kmeans_centroids(emb, 16, 3))
+    assert statistics.pstdev(refined) <= statistics.pstdev(seed)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, list(range(10)), 10).collect()}
+    km = {(r["query_id"], r["neighbor_id"])
+          for r in ivf_topk(emb, list(range(10)), 10, n_centroids=16,
+                            n_probes=4, kmeans_iters=3).collect()}
+    assert len(km & exact) / len(exact) >= 0.6
