@@ -201,3 +201,42 @@ def test_stateful_host_sessions(spark, tmp_path):
     assert rb["closed_by"] == "timeout" and rb["n_pages"] == 1
     # host-a burst 2 (last ts t0+2h02, timeout t0+2h32 > watermark) stays open
     assert ("host-a.org", 2) not in out
+
+
+def test_stream_session_counts_windows(spark, tmp_path):
+    """Windowed ingest monitoring: the streaming windowed aggregation
+    (count + approx-distinct content per window) equals the same
+    aggregation computed in batch over identical data. Complete output
+    mode — with a 1-hour watermark and a corpus spanning minutes, append
+    mode would (correctly) emit nothing final yet."""
+    from co_deduplicate_spark.functions.text_stats import fingerprint_expr
+    from co_deduplicate_spark.streaming.stream_dedup import stream_session_counts
+
+    src = str(tmp_path / "landing_counts")
+    pages = synth_pages(spark, 200, seed=7)
+    pages.write.parquet(src)
+    q = (
+        stream_session_counts(spark, src, PAGES_SCHEMA, window="1 minute")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["window"]["start"], r["window"]["end"]): (r["n_pages"], r["approx_distinct"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window"]["start"], r["window"]["end"]): (r["n_pages"], r["approx_distinct"])
+        for r in pages.groupBy(F.window("warc_ts", "1 minute"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.approx_count_distinct(fingerprint_expr(F.col("text"))).alias("approx_distinct"),
+        )
+        .collect()
+    }
+    assert len(got) >= 2  # corpus spans multiple windows
+    assert got == want
