@@ -139,3 +139,27 @@ def test_minhash_estimator_tracks_jaccard(seed):
     sh1, sh2 = set(shingles_py(t1, CFG.shingle_k)), set(shingles_py(t2, CFG.shingle_k))
     true_j = len(sh1 & sh2) / len(sh1 | sh2)
     assert abs(est - true_j) < 0.18  # 128 perms → σ ≈ 0.044; 4σ bound
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.text(alphabet="abcdefg hij", min_size=0, max_size=300), st.integers(1, 5))
+def test_shingle_hashes_cardinality_matches_string_shingles(text, k):
+    """The vectorized hashed-shingle kernel sees exactly the same distinct
+    set as the string shingler (collisions are 2^-64-scale — a mismatch
+    here means a kernel bug, not bad luck), and is deterministic."""
+    import numpy as np
+
+    from co_deduplicate_spark.functions.normalize import tokens_py
+    from co_deduplicate_spark.operators.minhash import shingle_hashes
+
+    toks = tokens_py(text)
+    hs = shingle_hashes(toks, k)
+    if not toks:
+        assert hs is None
+        return
+    assert len(hs) == len(shingles_py(text, k))
+    assert np.array_equal(hs, shingle_hashes(tokens_py(text), k))
+    # unigrams vs k-grams must not collide into each other's key space
+    if k > 1 and len(toks) >= k:
+        uni = shingle_hashes(toks, 1)
+        assert len(np.intersect1d(hs, uni)) == 0
