@@ -101,7 +101,10 @@ def _sql_ivf_kmeans(n_iters: int, n_centroids: int = 32, dims: int = 64) -> str:
     side's cosc array index), then per iteration (a) assign by integer
     micro-cosine with lowest-cid tie-break, (b) new centroid component =
     floor(sum/count) over members' quantized components (exact in float64
-    at oracle scale), empty centroids carried forward. ``dims`` is a
+    at oracle scale), empty OR degenerate (all-zero) centroids carried
+    forward and zero-norm input vectors given the same -1_000_000 sentinel
+    as the Spark kernel — both deterministic-guard behaviors of
+    operators/ann.py are mirrored, not just the happy path. ``dims`` is a
     constant because DuckDB's range() takes only constants; all testdata
     embeddings are 64-d (the Spark side is dim-agnostic)."""
     ctes = [
@@ -111,12 +114,16 @@ def _sql_ivf_kmeans(n_iters: int, n_centroids: int = 32, dims: int = 64) -> str:
         f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vi AS ci "
         f"FROM ei QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_centroids})",
     ]
+    micro_cos = (
+        "CASE WHEN list_dot_product(e.vi, e.vi) = 0 THEN -1000000 "
+        "ELSE CAST(round(1000000 * list_dot_product(e.vi, c.ci) / "
+        "(sqrt(list_dot_product(e.vi, e.vi)) * sqrt(list_dot_product(c.ci, c.ci)))) AS BIGINT) "
+        "END AS cosm"
+    )
     for i in range(1, n_iters + 1):
         p = i - 1
         ctes += [
-            f"vc{i} AS (SELECT e.vec_id, c.cid, "
-            f"CAST(round(1000000 * list_dot_product(e.vi, c.ci) / "
-            f"(sqrt(list_dot_product(e.vi, e.vi)) * sqrt(list_dot_product(c.ci, c.ci)))) AS BIGINT) AS cosm "
+            f"vc{i} AS (SELECT e.vec_id, c.cid, {micro_cos} "
             f"FROM ei e CROSS JOIN cent{p} c)",
             f"asg{i} AS (SELECT vec_id, cid FROM vc{i} "
             f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) = 1)",
@@ -124,14 +131,14 @@ def _sql_ivf_kmeans(n_iters: int, n_centroids: int = 32, dims: int = 64) -> str:
             f"CAST(floor(sum(e.vi[d.d]) / count(*)) AS DOUBLE) AS val "
             f"FROM asg{i} a JOIN ei e USING (vec_id) CROSS JOIN range(1, {dims + 1}) d(d) "
             f"GROUP BY a.cid, d.d)",
-            f"newc{i} AS (SELECT cid, list(val ORDER BY d) AS ci FROM upd{i} GROUP BY cid)",
+            f"newc{i} AS (SELECT cid, ci FROM "
+            f"(SELECT cid, list(val ORDER BY d) AS ci FROM upd{i} GROUP BY cid) "
+            f"WHERE list_dot_product(ci, ci) > 0)",
             f"cent{i} AS (SELECT c.cid, coalesce(n.ci, c.ci) AS ci "
             f"FROM cent{p} c LEFT JOIN newc{i} n USING (cid))",
         ]
     ctes += [
-        f"vc AS (SELECT e.vec_id, c.cid, "
-        f"CAST(round(1000000 * list_dot_product(e.vi, c.ci) / "
-        f"(sqrt(list_dot_product(e.vi, e.vi)) * sqrt(list_dot_product(c.ci, c.ci)))) AS BIGINT) AS cosm "
+        f"vc AS (SELECT e.vec_id, c.cid, {micro_cos} "
         f"FROM ei e CROSS JOIN cent{n_iters} c)",
         "ranked AS (SELECT vec_id, cid, "
         "row_number() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) AS rn FROM vc)",
@@ -854,8 +861,8 @@ def q_stream_dedup_keys(spark, sf_dir):
     one watermark window here, so the stream's output is exactly one row
     per distinct fingerprint."""
     import os
+    import shutil
     import tempfile
-    import uuid
 
     from co_deduplicate_spark.streaming.stream_dedup import stream_exact_dedup
 
@@ -868,10 +875,15 @@ def q_stream_dedup_keys(spark, sf_dir):
     docs.write.mode("overwrite").parquet(landing)
     schema = spark.read.parquet(landing).schema
     deduped = stream_exact_dedup(spark, landing, schema, watermark="1 hour")
-    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    # fixed names, cleaned before start — repeated invocations (bench
+    # best-of-N) must not accumulate checkpoint dirs on tmpfs
+    qname = f"stream_dedup_{tag.replace('.', '_')}"
+    ckpt = f"{base}/co_dedup_stream/{tag}/ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.dropTempView(qname)
     q = (
         deduped.select("fp").writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", f"{base}/co_dedup_stream/{tag}/ckpt_{qname}")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True).start()
     )
     q.awaitTermination()

@@ -245,11 +245,16 @@ def centroid_cos_micro(embeddings: DataFrame, n_centroids: int = 32,
     cosine) rather than platform-undefined NaN casts.
 
     ``centroids`` overrides seeding with a pre-trained integer-micro
-    matrix (e.g. ``kmeans_centroids`` output).
+    matrix (e.g. ``kmeans_centroids`` output); the zero-norm guard applies
+    to it identically.
     """
     Ci = _seed_centroids(embeddings, n_centroids, id_col, vec_col) \
         if centroids is None else np.asarray(centroids, dtype=np.float64)
     cn = np.sqrt((Ci * Ci).sum(axis=1))
+    if (cn == 0).any():
+        raise ValueError(
+            f"zero-norm centroids at rows {np.flatnonzero(cn == 0).tolist()}"
+        )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def cosc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -287,10 +287,7 @@ def audio_sample_stats(media: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                b = bytes(blob) if blob is not None else b""
-                if len(b) < 44 or b[:4] != b"RIFF":
-                    continue
-                wav = _wav_decode(b)
+                wav = _wav_decode(bytes(blob) if blob is not None else b"")
                 if wav is None:
                     continue
                 raw = np.round(wav[0] * 32768.0).astype(np.int64)
