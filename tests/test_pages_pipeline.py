@@ -161,3 +161,6 @@ def test_stage_manifests_carry_partition_lineage(spark, pages, tmp_path):
     by_stage = {r["stage"]: r for r in recs}
     assert "skew_max_over_mean" in by_stage["candidate_edges"]
     assert "n_partitions" in by_stage["signatures"]
+    for stage in ("corpus", "signatures", "candidate_edges",
+                  "cluster_labels", "clusters"):
+        assert by_stage[stage]["wall_s"] >= 0  # per-stage timing metric
