@@ -806,6 +806,28 @@ def q_media_wav_stats(spark, sf_dir):
     )
 
 
+def q_media_video_frames(spark, sf_dir):
+    """Multimodal video path under the bit-exact oracle: a deterministic
+    concatenated-BMP container per document (3 + doc_id mod 5 frames,
+    frame f adds 59·f to the pixel formula), decoded by walking the
+    container via each BMP header's declared file size, sampling every
+    2nd frame (frame-sample step of a media pipeline), emitting
+    integer-exact per-frame channel sums. The DuckDB mirror reproduces
+    frames and sums arithmetically — container walking, per-frame decode,
+    and the sampling stride are all proven cross-engine."""
+    from co_deduplicate_spark.operators.multimodal import (
+        frame_sample_stats,
+        synth_media_blobs,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = synth_media_blobs(ids, kind="video", width=7, height=9)
+    return frame_sample_stats(media, every_n=2).select(
+        F.col("media_id").alias("doc_id"), "frame_idx", "n_frames",
+        "width", "height", "sum_r", "sum_g", "sum_b",
+    )
+
+
 def q_upsert_lifecycle(spark, sf_dir):
     """S2/S3/S4/S5/S6/S8 under the oracle: the full write-path lifecycle —
     createIndiceNx, bulkCreate with per-row validators (rows failing any
@@ -927,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "media_bmp_stats": q_media_bmp_stats,
         "media_wav_stats": q_media_wav_stats,
+        "media_video_frames": q_media_video_frames,
         "upsert_lifecycle": q_upsert_lifecycle,
         "stream_dedup_keys": q_stream_dedup_keys,
     }
@@ -1411,6 +1434,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE sign(v) * sign(pv) < 0) AS BIGINT)
                      AS n_sign_change
             FROM lagged GROUP BY doc_id
+        """,
+        # frame/pixel formula mirror of synth_media_blobs(kind='video'):
+        # n = 3 + doc_id mod 5 frames, sampled stride 2, pixel formula as
+        # media_bmp_stats plus 59*frame_idx
+        "media_video_frames": """
+            WITH fr AS (
+              SELECT d.doc_id, f.f AS frame_idx,
+                     CAST(3 + d.doc_id % 5 AS INTEGER) AS n_frames
+              FROM documents d CROSS JOIN range(8) f(f)
+              WHERE f.f < 3 + d.doc_id % 5 AND f.f % 2 = 0
+            ),
+            px AS (
+              SELECT fr.doc_id, fr.frame_idx, fr.n_frames,
+                     ((fr.doc_id % 1009) * 131 + r.r * 17 + c.c * 29
+                      + fr.frame_idx * 59) % 256 AS vr,
+                     ((fr.doc_id % 1009) * 131 + r.r * 17 + c.c * 29
+                      + fr.frame_idx * 59 + 97) % 256 AS vg,
+                     ((fr.doc_id % 1009) * 131 + r.r * 17 + c.c * 29
+                      + fr.frame_idx * 59 + 194) % 256 AS vb
+              FROM fr, range(9) r(r), range(7) c(c)
+            )
+            SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, n_frames,
+                   CAST(7 AS INTEGER) AS width, CAST(9 AS INTEGER) AS height,
+                   CAST(sum(vr) AS BIGINT) AS sum_r,
+                   CAST(sum(vg) AS BIGINT) AS sum_g,
+                   CAST(sum(vb) AS BIGINT) AS sum_b
+            FROM px GROUP BY doc_id, frame_idx, n_frames
         """,
         # declarative mirror of the bulkCreate(validators) -> deleteById
         # -> updateByQuery lifecycle executed against the UpsertTable

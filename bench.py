@@ -62,6 +62,7 @@ HEADLINE = [
     "ann_ivf_kmeans_topk",
     "media_bmp_stats",
     "media_wav_stats",
+    "media_video_frames",
     "upsert_lifecycle",
     "stream_dedup_keys",
 ]

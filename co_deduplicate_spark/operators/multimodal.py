@@ -332,6 +332,67 @@ def resize_bmp(media: DataFrame, thumb_w: int = 8, thumb_h: int = 8,
     return media.select(id_col, blob_col).mapInPandas(op, schema=RESIZE_SCHEMA)
 
 
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Frame container: concatenated BMPs. Deliberately minimal but REAL —
+    each BMP header carries its total file size (bytes 2:6), so a decoder
+    walks the container by declared sizes, exactly like chunked media
+    formats; no out-of-band index needed."""
+    return b"".join(encode_bmp(f) for f in frames)
+
+
+def _video_frames(b: bytes):
+    """Walk a concatenated-BMP container, yielding decoded frames. Stops
+    at the first malformed frame (truncated tail tolerated, garbage not)."""
+    i = 0
+    while i + 54 <= len(b) and b[i : i + 2] == b"BM":
+        size = struct.unpack("<I", b[i + 2 : i + 6])[0]
+        if size < 54 or i + size > len(b):
+            return
+        px = _bmp_decode(b[i : i + size])
+        if px is None:
+            return
+        yield px
+        i += size
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, n_frames int, width int, height int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def frame_sample_stats(media: DataFrame, every_n: int = 2,
+                       id_col: str = "media_id",
+                       blob_col: str = "blob") -> DataFrame:
+    """Video frame sampling: decode the container, keep every ``every_n``-th
+    frame (idx 0, n, 2n, ...), emit integer-exact per-frame channel sums —
+    the frame-sample step of a media pipeline with the same oracle-facing
+    stats contract as ``image_channel_stats``. Non-video blobs yield no
+    rows. One container decodes inside one Arrow batch row; sampling
+    happens at the worker, so only sampled-frame stats (not pixels) ever
+    leave the partition."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                frames = list(_video_frames(bytes(blob) if blob is not None else b""))
+                for idx, px in enumerate(frames):
+                    if idx % every_n:
+                        continue
+                    sums = px.astype(np.int64).sum(axis=(0, 1))
+                    rows.append({"media_id": int(mid), "frame_idx": idx,
+                                 "n_frames": len(frames),
+                                 "width": px.shape[1], "height": px.shape[0],
+                                 "sum_r": int(sums[0]), "sum_g": int(sums[1]),
+                                 "sum_b": int(sums[2])})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_frames", "width",
+                               "height", "sum_r", "sum_g", "sum_b"])
+
+    return media.select(id_col, blob_col).mapInPandas(op, schema=FRAME_STATS_SCHEMA)
+
+
 def synth_media_blobs(ids: DataFrame, id_col: str = "media_id",
                       kind: str = "bmp", width: int = 7, height: int = 9,
                       rate: int = 8000) -> DataFrame:
@@ -342,9 +403,16 @@ def synth_media_blobs(ids: DataFrame, id_col: str = "media_id",
     97ch) mod 256 with a = id mod 1009, 7×9 (stride 24 ⇒ 3 pad bytes/row —
     exercises row padding). WAV samples (mono int16): s(i) = ((a*13 +
     7919i) mod 4001) − 2000 over n = 64 + id mod 37 samples (varying data
-    chunk length)."""
-    if kind not in ("bmp", "wav"):
-        raise ValueError(f"kind must be bmp|wav, got {kind!r}")
+    chunk length). Video (concatenated-BMP container): n = 3 + id mod 5
+    frames, frame f's pixels add 59·f to the BMP formula."""
+    if kind not in ("bmp", "wav", "video"):
+        raise ValueError(f"kind must be bmp|wav|video, got {kind!r}")
+
+    def frame_px(a: int, f: int) -> np.ndarray:
+        r = np.arange(height)[:, None, None]
+        c = np.arange(width)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        return ((a * 131 + r * 17 + c * 29 + ch * 97 + f * 59) % 256).astype(np.uint8)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -352,11 +420,10 @@ def synth_media_blobs(ids: DataFrame, id_col: str = "media_id",
             for mid in pdf[id_col]:
                 a = int(mid) % 1009
                 if kind == "bmp":
-                    r = np.arange(height)[:, None, None]
-                    c = np.arange(width)[None, :, None]
-                    ch = np.arange(3)[None, None, :]
-                    px = ((a * 131 + r * 17 + c * 29 + ch * 97) % 256).astype(np.uint8)
-                    blobs.append(encode_bmp(px))
+                    blobs.append(encode_bmp(frame_px(a, 0)))
+                elif kind == "video":
+                    n_frames = 3 + int(mid) % 5
+                    blobs.append(encode_video([frame_px(a, f) for f in range(n_frames)]))
                 else:
                     n = 64 + int(mid) % 37
                     i = np.arange(n)

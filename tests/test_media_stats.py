@@ -92,3 +92,35 @@ def test_non_media_blobs_dropped(spark):
     )
     assert image_channel_stats(junk).count() == 0
     assert audio_sample_stats(junk).count() == 0
+
+
+def test_video_container_walk_and_sampling(spark):
+    """Concatenated-BMP container: header-size-driven walking decodes all
+    frames; stride sampling keeps idx 0, n, 2n...; truncated tails stop
+    cleanly; garbage yields nothing."""
+    from co_deduplicate_spark.operators.multimodal import (
+        _video_frames,
+        encode_video,
+        frame_sample_stats,
+    )
+
+    frames = [_formula_px(5), _formula_px(6), _formula_px(7), _formula_px(8)]
+    blob = encode_video(frames)
+    decoded = list(_video_frames(blob))
+    assert len(decoded) == 4
+    assert all(np.array_equal(d, f) for d, f in zip(decoded, frames))
+    assert list(_video_frames(blob[:-10]))  # truncated tail: first frames survive
+    assert len(list(_video_frames(blob[:-10]))) == 3
+    assert list(_video_frames(b"not video")) == []
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))], "media_id long, blob binary"
+    )
+    rows = frame_sample_stats(media, every_n=2).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in rows} == {(1, 0), (1, 2)}
+    for r in rows:
+        px = frames[r["frame_idx"]].astype(np.int64)
+        assert r["n_frames"] == 4
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(
+            px[..., ch].sum() for ch in range(3)
+        )
