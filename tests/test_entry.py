@@ -67,3 +67,25 @@ def test_every_query_has_oracle_or_reason():
     # explicitly so additions are deliberate
     allowed_rows_only: set[str] = set()
     assert missing <= allowed_rows_only, f"queries missing oracles: {missing}"
+
+
+def test_pyfiles_zip_is_importable(tmp_path):
+    """package.py builds a zip whose package is importable via zipimport —
+    the spark-submit --py-files contract."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "co_deduplicate_spark.zip"
+    subprocess.run(
+        [sys.executable, "package.py", "--out", str(out)],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {str(out)!r}); "
+         "import co_deduplicate_spark.config as c; "
+         "print(c.DedupConfig().num_perms)"],
+        check=True, capture_output=True, text=True,
+        cwd=str(tmp_path),  # away from the repo so the zip is what resolves
+    )
+    assert probe.stdout.strip() == "128"
