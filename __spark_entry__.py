@@ -902,6 +902,11 @@ def q_stream_dedup_keys(spark, sf_dir):
     qname = f"stream_dedup_{tag.replace('.', '_')}"
     ckpt = f"{base}/co_dedup_stream/{tag}/ckpt"
     shutil.rmtree(ckpt, ignore_errors=True)
+    if os.path.exists(ckpt):
+        # a surviving stale checkpoint would make availableNow treat the
+        # landing files as already processed — empty result, no error.
+        # Fail loudly instead.
+        raise RuntimeError(f"could not clear stream checkpoint {ckpt}")
     spark.catalog.dropTempView(qname)
     q = (
         deduped.select("fp").writeStream.format("memory").queryName(qname)

@@ -340,19 +340,29 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
     return b"".join(encode_bmp(f) for f in frames)
 
 
-def _video_frames(b: bytes):
-    """Walk a concatenated-BMP container, yielding decoded frames. Stops
-    at the first malformed frame (truncated tail tolerated, garbage not)."""
+def _video_frame_spans(b: bytes) -> list[tuple[int, int]]:
+    """Header-only walk of a concatenated-BMP container: (offset, size)
+    per frame from each BMP header's declared file size — no pixel decode.
+    Stops at the first malformed frame (truncated tail tolerated)."""
+    spans = []
     i = 0
     while i + 54 <= len(b) and b[i : i + 2] == b"BM":
         size = struct.unpack("<I", b[i + 2 : i + 6])[0]
         if size < 54 or i + size > len(b):
-            return
-        px = _bmp_decode(b[i : i + size])
+            break
+        spans.append((i, size))
+        i += size
+    return spans
+
+
+def _video_frames(b: bytes):
+    """Walk a concatenated-BMP container, yielding decoded frames (header
+    walk via _video_frame_spans, then per-frame pixel decode)."""
+    for off, size in _video_frame_spans(b):
+        px = _bmp_decode(b[off : off + size])
         if px is None:
             return
         yield px
-        i += size
 
 
 FRAME_STATS_SCHEMA = (
@@ -364,25 +374,32 @@ FRAME_STATS_SCHEMA = (
 def frame_sample_stats(media: DataFrame, every_n: int = 2,
                        id_col: str = "media_id",
                        blob_col: str = "blob") -> DataFrame:
-    """Video frame sampling: decode the container, keep every ``every_n``-th
-    frame (idx 0, n, 2n, ...), emit integer-exact per-frame channel sums —
-    the frame-sample step of a media pipeline with the same oracle-facing
-    stats contract as ``image_channel_stats``. Non-video blobs yield no
-    rows. One container decodes inside one Arrow batch row; sampling
-    happens at the worker, so only sampled-frame stats (not pixels) ever
-    leave the partition."""
+    """Video frame sampling: walk the container headers, pixel-decode ONLY
+    every ``every_n``-th frame (idx 0, n, 2n, ...), emit integer-exact
+    per-frame channel sums — the frame-sample step of a media pipeline
+    with the same oracle-facing stats contract as ``image_channel_stats``.
+    ``n_frames`` comes from the header walk, so skipped frames cost no
+    pixel work. Blobs that aren't BM-led containers yield no rows; note a
+    single bare BMP is, by construction, a valid 1-frame container and
+    emits its frame_idx=0 row. Sampling happens at the worker, so only
+    sampled-frame stats (not pixels) ever leave the partition."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                frames = list(_video_frames(bytes(blob) if blob is not None else b""))
-                for idx, px in enumerate(frames):
-                    if idx % every_n:
+                b = bytes(blob) if blob is not None else b""
+                spans = _video_frame_spans(b)
+                for idx in range(0, len(spans), every_n):
+                    off, size = spans[idx]
+                    px = _bmp_decode(b[off : off + size])
+                    if px is None:  # header-valid but non-24bpp frame
                         continue
                     sums = px.astype(np.int64).sum(axis=(0, 1))
                     rows.append({"media_id": int(mid), "frame_idx": idx,
-                                 "n_frames": len(frames),
+                                 "n_frames": len(spans),
                                  "width": px.shape[1], "height": px.shape[0],
                                  "sum_r": int(sums[0]), "sum_g": int(sums[1]),
                                  "sum_b": int(sums[2])})

@@ -123,7 +123,7 @@ def run_pipeline(
     # — the batch analogue of ES populating `_ignored` on malformed fields
     # at index time (documentsManager.js:206-218). The rules engine treats
     # flagged fields as absent (P14); flag counts ride into lineage.
-    _t0 = time.time()
+    _t0 = time.monotonic()
     if resume and cat.is_complete("corpus"):
         corpus = cat.read("corpus")
     else:
@@ -158,12 +158,12 @@ def run_pipeline(
         ).collect()[0]["n"]
         cat.log_lineage("corpus", {"rows_out": cat.manifest("corpus")["rows"],
                                    "flagged_records": int(flagged or 0),
-                                   "wall_s": round(time.time() - _t0, 2),
+                                   "wall_s": round(time.monotonic() - _t0, 2),
                                    **cat.partition_summary("corpus")})
     out["corpus"] = corpus
 
     # Stage 2: MinHash signatures -----------------------------------------
-    _t0 = time.time()
+    _t0 = time.monotonic()
     if resume and cat.is_complete("signatures"):
         sigs = cat.read("signatures")
     else:
@@ -181,12 +181,12 @@ def run_pipeline(
                           counters={"non_deduplicable": int(counters["nulls"])})
         cat.log_lineage("signatures", {"rows_out": counters["rows"],
                                        "non_deduplicable": int(counters["nulls"]),
-                                       "wall_s": round(time.time() - _t0, 2),
+                                       "wall_s": round(time.monotonic() - _t0, 2),
                                        **cat.partition_summary("signatures")})
     out["signatures"] = sigs
 
     # Stage 3: per-engine candidates + verify + provenance union ----------
-    _t0 = time.time()
+    _t0 = time.monotonic()
     if resume and cat.is_complete("candidate_edges"):
         edges = cat.read("candidate_edges")
     else:
@@ -327,12 +327,12 @@ def run_pipeline(
         edges = cat.write("candidate_edges", edges)
         cat.log_lineage("candidate_edges", {"rows_out": cat.manifest("candidate_edges")["rows"],
                                             "engines": list(engines), **engine_counters,
-                                            "wall_s": round(time.time() - _t0, 2),
+                                            "wall_s": round(time.monotonic() - _t0, 2),
                                             **cat.partition_summary("candidate_edges")})
     out["candidate_edges"] = edges
 
     # Stage 4: connected components ---------------------------------------
-    _t0 = time.time()
+    _t0 = time.monotonic()
     if resume and cat.is_complete("cluster_labels"):
         labels = cat.read("cluster_labels")
     else:
@@ -340,7 +340,7 @@ def run_pipeline(
         labels = attach_singletons(labels, corpus.select("url"), node_col="url")
         labels = cat.write("cluster_labels", labels)
         cat.log_lineage("cluster_labels", {"rows_out": cat.manifest("cluster_labels")["rows"],
-                                           "wall_s": round(time.time() - _t0, 2),
+                                           "wall_s": round(time.monotonic() - _t0, 2),
                                            **cat.partition_summary("cluster_labels")})
     out["cluster_labels"] = labels
 
@@ -351,7 +351,7 @@ def run_pipeline(
     # mega-cluster at 100× otherwise funnels every member into a single
     # reducer and builds an unbounded chain. Capped clusters keep size and
     # a placeholder chain; the cap is logged to lineage, never silent.
-    _t0 = time.time()
+    _t0 = time.monotonic()
     if resume and cat.is_complete("clusters"):
         clusters = cat.read("clusters")
     else:
@@ -402,7 +402,7 @@ def run_pipeline(
                                      "capped_clusters": int(counters["capped"]),
                                      "max_cluster_size": int(counters["max_size"]),
                                      "chain_max_members": cfg.chain_max_members,
-                                     "wall_s": round(time.time() - _t0, 2),
+                                     "wall_s": round(time.monotonic() - _t0, 2),
                                      **cat.partition_summary("clusters")})
     out["clusters"] = clusters
 
@@ -420,7 +420,7 @@ def run_pipeline(
         from .business_view import business_view
 
         table = UpsertTable(spark, str(Path(workdir) / "documents_enriched"), key="url")
-        _t0 = time.time()
+        _t0 = time.monotonic()
         if resume and cat.is_complete("enriched") and table.exists():
             out["enriched"] = table.read()
         else:
@@ -434,7 +434,7 @@ def run_pipeline(
             cat.mark_complete("enriched", rows=enriched_df.count(),
                               counters={"upsert_version": table._manifest()["version"]})
             cat.log_lineage("enriched", {"rows_out": cat.manifest("enriched")["rows"],
-                                         "wall_s": round(time.time() - _t0, 2)})
+                                         "wall_s": round(time.monotonic() - _t0, 2)})
             out["enriched"] = enriched_df
     return out
 

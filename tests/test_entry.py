@@ -75,10 +75,13 @@ def test_pyfiles_zip_is_importable(tmp_path):
     import subprocess
     import sys
 
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parents[1]
     out = tmp_path / "co_deduplicate_spark.zip"
     subprocess.run(
         [sys.executable, "package.py", "--out", str(out)],
-        check=True, cwd="/root/repo", capture_output=True,
+        check=True, cwd=str(repo_root), capture_output=True,
     )
     probe = subprocess.run(
         [sys.executable, "-c",
