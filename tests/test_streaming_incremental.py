@@ -240,3 +240,44 @@ def test_stream_session_counts_windows(spark, tmp_path):
     }
     assert len(got) >= 2  # corpus spans multiple windows
     assert got == want
+
+
+def test_stream_upsert_sink_exactly_once(spark, tmp_path):
+    """Streaming landing -> exact dedup -> keyed UpsertTable via
+    foreachBatch: final table equals the distinct-fingerprint set, and
+    replaying the whole stream into the same table (simulating
+    redelivery) is a no-op on table state — idempotent keyed MERGE turns
+    at-least-once delivery into exactly-once table contents."""
+    from co_deduplicate_spark.sources.upsert import UpsertTable
+    from co_deduplicate_spark.streaming.stream_sink import upsert_sink_query
+
+    src = str(tmp_path / "landing_sink")
+    pages = synth_pages(spark, 120, seed=11)
+    pages.write.parquet(src)
+    tbl_dir = str(tmp_path / "deduped_table")
+
+    def run_once(ckpt):
+        deduped = stream_exact_dedup(spark, src, PAGES_SCHEMA).select("fp", "url")
+        q = upsert_sink_query(deduped, tbl_dir, key="fp",
+                              checkpoint_dir=str(tmp_path / ckpt))
+        q.processAllAvailable()
+        q.stop()
+
+    run_once("ckpt1")
+    table = UpsertTable(spark, tbl_dir, key="fp")
+    got_fps = {r["fp"] for r in table.read().select("fp").collect()}
+    want_fps = {
+        r["fp"] for r in pages.select(
+            F.md5(F.regexp_replace(F.lower("text"), "[^0-9a-z]+", "")).alias("fp")
+        ).distinct().collect()
+    }
+    assert got_fps == want_fps
+    v1 = table._manifest()["version"]
+
+    # full redelivery (fresh checkpoint, same data): same keys re-upserted,
+    # table contents unchanged
+    run_once("ckpt2")
+    table2 = UpsertTable(spark, tbl_dir, key="fp")
+    assert {r["fp"] for r in table2.read().select("fp").collect()} == want_fps
+    assert table2.read().count() == len(want_fps)
+    assert table2._manifest()["version"] > v1  # new snapshot, same state
