@@ -164,3 +164,46 @@ def test_stage_manifests_carry_partition_lineage(spark, pages, tmp_path):
     for stage in ("corpus", "signatures", "candidate_edges",
                   "cluster_labels", "clusters"):
         assert by_stage[stage]["wall_s"] >= 0  # per-stage timing metric
+
+
+def test_pipeline_survives_sigkill_mid_run(spark, tmp_path):
+    """The BASELINE resumability protocol, literally: SIGKILL a pipeline
+    process mid-run (no shutdown hooks, no manifest cleanup), re-run over
+    the same workdir, and the final cluster table equals an uninterrupted
+    run's. The rename-free write protocol (data first, manifest last)
+    makes any partial stage invisible to the resume."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    wk_killed = str(tmp_path / "wk_killed")
+    proc = subprocess.Popen(
+        [sys.executable, "main.py", "--input", "synth:4000",
+         "--workdir", wk_killed, "--cores", "4"],
+        cwd=str(repo), stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # let it get through extraction and INTO the heavy stages, then kill hard
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline:
+        if (Path(wk_killed) / "corpus" / "_STAGE_MANIFEST.json").exists():
+            break
+        if proc.poll() is not None:  # finished too fast — still a valid run
+            break
+        _time.sleep(0.5)
+    if proc.poll() is None:
+        _time.sleep(2)  # now mid stage-2/3
+        os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    docs = synth_pages(spark, 4000)
+    resumed = run_pipeline(spark, docs, wk_killed, CFG)
+    clean = run_pipeline(spark, docs, str(tmp_path / "wk_clean"), CFG)
+    got = sorted((r["cluster_id"], r["chain"], r["size"])
+                 for r in resumed["clusters"].collect())
+    want = sorted((r["cluster_id"], r["chain"], r["size"])
+                  for r in clean["clusters"].collect())
+    assert got == want
