@@ -18,27 +18,32 @@ from pyspark.sql import DataFrame
 from ..sources.upsert import UpsertTable
 
 
-def upsert_sink_query(deduped: DataFrame, table_dir: str, key: str = "url",
-                      checkpoint_dir: str | None = None,
-                      trigger_available_now: bool = True):
+def upsert_sink_query(deduped: DataFrame, table_dir: str, checkpoint_dir: str,
+                      key: str = "url", trigger_available_now: bool = True):
     """Start a streaming query writing ``deduped`` into an UpsertTable.
 
     Each micro-batch is one keyed MERGE (insert new keys, replace
     existing) — O(touched buckets) per batch thanks to the hash-bucketed
-    layout. Returns the started StreamingQuery; callers own
+    layout; ``upsert`` localCheckpoints the batch internally before its
+    multiple actions, so no extra materialization here.
+    ``checkpoint_dir`` is REQUIRED: the exactly-once contract is
+    checkpoint-based offset tracking + idempotent MERGE — without a
+    durable checkpoint a restarted query would re-read the entire landing
+    area from scratch. Returns the started StreamingQuery; callers own
     ``awaitTermination``/``stop``.
     """
+    if not checkpoint_dir:
+        raise ValueError("checkpoint_dir is required: exactly-once recovery "
+                         "depends on a durable checkpointLocation")
     spark = deduped.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table = UpsertTable(spark, table_dir, key=key)
-        # localCheckpoint: the batch plan must not be re-evaluated inside
-        # the upsert's multiple actions (bucket discovery + write + count)
-        table.upsert(batch_df.localCheckpoint())
+        UpsertTable(spark, table_dir, key=key).upsert(batch_df)
 
-    writer = deduped.writeStream.foreachBatch(write_batch).outputMode("append")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer = (
+        deduped.writeStream.foreachBatch(write_batch).outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

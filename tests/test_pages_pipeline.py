@@ -181,23 +181,36 @@ def test_pipeline_survives_sigkill_mid_run(spark, tmp_path):
 
     repo = Path(__file__).resolve().parents[1]
     wk_killed = str(tmp_path / "wk_killed")
+    # new session so the SIGKILL reaches the whole tree (the PySpark JVM is
+    # a separate child; killing only the python driver could leave in-flight
+    # tasks committing files into wk_killed while the resumed run starts)
     proc = subprocess.Popen(
         [sys.executable, "main.py", "--input", "synth:4000",
          "--workdir", wk_killed, "--cores", "4"],
         cwd=str(repo), stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
     )
     # let it get through extraction and INTO the heavy stages, then kill hard
+    manifest_seen = False
     deadline = _time.monotonic() + 120
     while _time.monotonic() < deadline:
         if (Path(wk_killed) / "corpus" / "_STAGE_MANIFEST.json").exists():
+            manifest_seen = True
             break
-        if proc.poll() is not None:  # finished too fast — still a valid run
+        if proc.poll() is not None:
             break
         _time.sleep(0.5)
     if proc.poll() is None:
         _time.sleep(2)  # now mid stage-2/3
-        os.kill(proc.pid, signal.SIGKILL)
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
     proc.wait()
+    # the scenario must have actually happened: either we killed a run that
+    # had made stage progress, or (too-fast machine) the run completed OK.
+    # A subprocess that crashed at startup would make both runs below clean
+    # runs and the test vacuous — fail instead.
+    assert manifest_seen or proc.returncode == 0, (
+        f"pipeline subprocess died at startup (rc={proc.returncode})"
+    )
 
     docs = synth_pages(spark, 4000)
     resumed = run_pipeline(spark, docs, wk_killed, CFG)
