@@ -44,6 +44,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch(sf_dir: str, family: str) -> str:
+    """Per-process scratch dir for queries that materialize state (upsert
+    tables, stream checkpoints): tmpfs when available, keyed by sf tag AND
+    pid so concurrent invocations at the same scale factor (e.g. bench and
+    correctness runs in parallel) never race on table state or
+    checkpoints. Each query still pre-cleans its own path, so repeated
+    in-process invocations don't accumulate."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{base}/{family}_{os.getpid()}/{tag}"
+
+
 # --------------------------------------------------------------------------
 # shared DuckDB fragments (mirrors of functions/normalize.py expressions)
 # --------------------------------------------------------------------------
@@ -103,8 +118,9 @@ def _sql_ivf_kmeans(n_iters: int, n_centroids: int = 32, dims: int = 64) -> str:
     floor(sum/count) over members' quantized components (exact in float64
     at oracle scale), empty OR degenerate (all-zero) centroids carried
     forward and zero-norm input vectors given the same -1_000_000 sentinel
-    as the Spark kernel — both deterministic-guard behaviors of
-    operators/ann.py are mirrored, not just the happy path. ``dims`` is a
+    as the Spark kernel AND excluded from the mean update (a zero vector
+    must not drag a centroid toward the origin) — all deterministic-guard
+    behaviors of operators/ann.py are mirrored, not just the happy path. ``dims`` is a
     constant because DuckDB's range() takes only constants; all testdata
     embeddings are 64-d (the Spark side is dim-agnostic)."""
     ctes = [
@@ -127,9 +143,12 @@ def _sql_ivf_kmeans(n_iters: int, n_centroids: int = 32, dims: int = 64) -> str:
             f"FROM ei e CROSS JOIN cent{p} c)",
             f"asg{i} AS (SELECT vec_id, cid FROM vc{i} "
             f"QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosm DESC, cid) = 1)",
+            # zero-norm vectors are sentinel-assigned but excluded from the
+            # mean update (same guard as the Spark kernel's `valid` mask)
             f"upd{i} AS (SELECT a.cid, d.d, "
             f"CAST(floor(sum(e.vi[d.d]) / count(*)) AS DOUBLE) AS val "
             f"FROM asg{i} a JOIN ei e USING (vec_id) CROSS JOIN range(1, {dims + 1}) d(d) "
+            f"WHERE list_dot_product(e.vi, e.vi) > 0 "
             f"GROUP BY a.cid, d.d)",
             f"newc{i} AS (SELECT cid, ci FROM "
             f"(SELECT cid, list(val ORDER BY d) AS ci FROM upd{i} GROUP BY cid) "
@@ -227,9 +246,22 @@ FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
 # --------------------------------------------------------------------------
 
 def q_exact_dup_clusters(spark, sf_dir):
-    """S4/A1 analogue: hash-groupBy exact dedup (raw text)."""
+    """S4/A1 analogue: hash-groupBy exact dedup (raw text).
+
+    The corpus is `documents` plus deterministic planted mirrors — every
+    doc with doc_id % 10 == 0 reappears as (doc_id + 1_000_000, same
+    text, source='mirror'), synthesized identically on both engines — so
+    the query returns non-empty groups at EVERY scale factor and the
+    chain/sources aggregation is actually graded (the raw testdata has no
+    byte-identical duplicates below sf0.1, which left this row passing
+    vacuously 0=0 in rounds 1-3)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirrors = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        F.lit("mirror").alias("source"),
+    )
     return exact_dup_clusters(
-        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        docs.unionByName(mirrors), id_col="doc_id", text_col="text",
         normalized=False, source_col="source",
     ).select("content_key", "cluster_size", "chain", "sources")
 
@@ -528,9 +560,6 @@ def q_business_view_enriched(spark, sf_dir):
     (sources/upsert.py MERGE semantics) and read back. Doc ids are treated
     as strings end-to-end (CC orders lexicographically; the oracle mirrors
     with VARCHAR least/min)."""
-    import os
-    import tempfile
-
     from co_deduplicate_spark.plans.business_view import business_view
     from co_deduplicate_spark.sources.upsert import UpsertTable, ingest_defaults
 
@@ -562,9 +591,7 @@ def q_business_view_enriched(spark, sf_dir):
     # S7 stamps (fixed literal so the run is deterministic); the stamped
     # columns are persisted but not part of the compare projection
     flat = ingest_defaults(flat, uid_col="url", source_col=None, now="2024-01-01 00:00:00")
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    tbl = UpsertTable(spark, f"{base}/co_dedup_enriched/{tag}", key="url")
+    tbl = UpsertTable(spark, _scratch(sf_dir, "co_dedup_enriched"), key="url")
     tbl.drop()
     out = tbl.upsert(flat)
     return out.select(
@@ -590,7 +617,14 @@ def q_incremental_session_merge(spark, sf_dir):
     other-session rule-less edge (at sf0.01 anchor 413 is touched by new
     doc 45, so 419 is evicted to a singleton — label-visibly), and
     (d) leave untouched components' labels bit-identical. Output: every
-    doc's final (doc_id, cluster_id)."""
+    doc's final (doc_id, cluster_id).
+
+    The merge runs on the DELTA-SIGNATURE path: the old session's
+    persisted signature table is passed in and the MinHash kernel touches
+    only the new docs (incremental_update old_signatures) — so the graded
+    oracle row covers the O(new + affected) plan, not the full-recompute
+    fallback. tests/test_streaming_incremental.py proves the kernel really
+    skips old urls (poisoned-signature passthrough)."""
     from co_deduplicate_spark.streaming.incremental import incremental_update
 
     docs = _t(spark, sf_dir, "documents")
@@ -632,7 +666,9 @@ def q_incremental_session_merge(spark, sf_dir):
         connected_components(old_edges.select("src", "dst"), cfg=CFG),
         old.select(F.col("url").alias("node")), "node",
     )
-    out = incremental_update(old, old_edges, old_labels, new, CFG, current_session="s1")
+    old_sigs = with_minhash(old, CFG, id_col="url", text_col="text")
+    out = incremental_update(old, old_edges, old_labels, new, CFG,
+                             current_session="s1", old_signatures=old_sigs)
     return out["labels"].select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -839,18 +875,14 @@ def q_upsert_lifecycle(spark, sf_dir):
     The DuckDB mirror states the final table declaratively; the delete id
     list is driver-built from a deterministic range because S2's contract
     is an explicit id list from the caller, not a predicate."""
-    import os
-    import tempfile
-
     from co_deduplicate_spark.sources.upsert import UpsertTable, bulk_create
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text", "lang", "source",
         F.col("n_chars").cast("long").alias("n_chars"),
     )
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    tbl = UpsertTable(spark, f"{base}/co_dedup_lifecycle/{tag}", key="url")
+    scratch = _scratch(sf_dir, "co_dedup_lifecycle")
+    tbl = UpsertTable(spark, scratch, key="url")
     tbl.drop()  # S6 deleteIndiceIx; next write is S5 createIndiceNx
     bulk_create(
         tbl, docs,
@@ -858,7 +890,7 @@ def q_upsert_lifecycle(spark, sf_dir):
             "text-too-short": F.length("text") >= 100,
             "lang-missing": F.col("lang").isNotNull() & (F.length("lang") == 2),
         },
-        rejected_dir=f"{base}/co_dedup_lifecycle/{tag}_rejected",
+        rejected_dir=f"{scratch}_rejected",
     )
     max_id = docs.agg(F.max(F.col("url").cast("long"))).first()[0]
     tbl.delete_by_id([str(i) for i in range(0, int(max_id) + 1, 7)])
@@ -884,23 +916,22 @@ def q_stream_dedup_keys(spark, sf_dir):
     per distinct fingerprint."""
     import os
     import shutil
-    import tempfile
 
     from co_deduplicate_spark.streaming.stream_dedup import stream_exact_dedup
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    landing = f"{base}/co_dedup_stream/{tag}/landing"
+    scratch = _scratch(sf_dir, "co_dedup_stream")
+    landing = f"{scratch}/landing"
     docs = _t(spark, sf_dir, "documents").withColumn(
         "warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 60)
     )
     docs.write.mode("overwrite").parquet(landing)
     schema = spark.read.parquet(landing).schema
     deduped = stream_exact_dedup(spark, landing, schema, watermark="1 hour")
-    # fixed names, cleaned before start — repeated invocations (bench
-    # best-of-N) must not accumulate checkpoint dirs on tmpfs
-    qname = f"stream_dedup_{tag.replace('.', '_')}"
-    ckpt = f"{base}/co_dedup_stream/{tag}/ckpt"
+    # per-process names/dirs (_scratch), cleaned before start — repeated
+    # invocations (bench best-of-N) must not accumulate checkpoints on
+    # tmpfs, and concurrent processes never share a checkpoint
+    qname = f"stream_dedup_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    ckpt = f"{scratch}/ckpt"
     shutil.rmtree(ckpt, ignore_errors=True)
     if os.path.exists(ckpt):
         # a surviving stale checkpoint would make availableNow treat the
@@ -915,6 +946,64 @@ def q_stream_dedup_keys(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(qname).select("fp").distinct()
+
+
+def q_stream_host_sessions(spark, sf_dir):
+    """Custom stateful streaming operator under the oracle
+    (streaming/stateful.py::stream_host_sessions, applyInPandasWithState):
+    a deterministic per-host page stream derived from `documents` — host
+    h{doc_id%20}, event time base + (doc_id div 20)·60s with a 2-hour jump
+    every 5 in-host events — flows through readStream → groupBy(host) →
+    applyInPandasWithState (gap = 30 min) → memory sink (availableNow).
+    The landing dir is ONE file, so the run is a single micro-batch: every
+    burst boundary closes a session in-stream ("gap"), while each host's
+    final session stays open in the state store (the watermark delay
+    exceeds the data span, so no event-time timeout fires — timeout
+    semantics are pytest-covered in tests/test_streaming_stateful
+    instead, where wall-deterministic). Output: every CLOSED session;
+    the DuckDB mirror is gaps-and-islands SQL over the same synthesized
+    events minus each host's last (open) session."""
+    import os
+
+    from co_deduplicate_spark.streaming.stateful import stream_host_sessions
+
+    scratch = _scratch(sf_dir, "co_dedup_sessions")
+    landing = f"{scratch}/landing"
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.expr("doc_id div 20") * 60
+            + F.expr("(doc_id div 20) div 5") * 7200
+        ).alias("warc_ts"),
+    )
+    ev.repartition(1).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    sessions = stream_host_sessions(
+        spark, landing, schema, gap="30 minutes", watermark="100000 hours"
+    )
+    qname = f"host_sessions_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    ckpt = f"{scratch}/ckpt"
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.dropTempView(qname)
+    q = (
+        sessions.writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "host", "session_seq", "n_pages",
+        F.unix_seconds(F.col("start_ts")).alias("start_s"),
+        F.unix_seconds(F.col("end_ts")).alias("end_s"),
+        "closed_by",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -957,17 +1046,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "upsert_lifecycle": q_upsert_lifecycle,
         "stream_dedup_keys": q_stream_dedup_keys,
+        "stream_host_sessions": q_stream_host_sessions,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # planted mirrors (doc_id % 10 == 0 → +1,000,000 / source='mirror')
+        # synthesized identically to the Spark side — non-vacuous at all sf
         "exact_dup_clusters": """
+            WITH corpus AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, 'mirror' FROM documents
+              WHERE doc_id % 10 = 0
+            )
             SELECT md5(text) AS content_key,
                    count(*) AS cluster_size,
                    '!' || array_to_string(list_sort(list_distinct(list(doc_id::VARCHAR))), '!') || '!' AS chain,
                    array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
-            FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+            FROM corpus GROUP BY md5(text) HAVING count(*) >= 2
         """,
         "doc_profile": f"""
             WITH toks AS ({_SQL_TOKS}),
@@ -1480,5 +1578,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": f"""
             SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM documents
+        """,
+        # gaps-and-islands mirror of the applyInPandasWithState session op
+        # over the same synthesized event stream; each host's LAST session
+        # never closes in-stream and is therefore excluded (the stream's
+        # watermark outlives the data span, so no timeout close fires)
+        "stream_host_sessions": """
+            WITH ev AS (
+              SELECT 'h' || (doc_id % 20) || '.example.com' AS host,
+                     1704067200 + (doc_id // 20) * 60
+                                + ((doc_id // 20) // 5) * 7200 AS t
+              FROM documents),
+            o AS (
+              SELECT host, t,
+                     lag(t) OVER (PARTITION BY host ORDER BY t) AS prev
+              FROM ev),
+            flagged AS (
+              SELECT host, t,
+                     CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS new_s
+              FROM o),
+            numbered AS (
+              SELECT host, t,
+                     sum(new_s) OVER (PARTITION BY host ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING)::INTEGER AS session_seq
+              FROM flagged),
+            agg AS (
+              SELECT host, session_seq,
+                     count(*) AS n_pages,
+                     min(t) AS start_s, max(t) AS end_s
+              FROM numbered GROUP BY host, session_seq)
+            SELECT host, session_seq, n_pages, start_s, end_s,
+                   'gap' AS closed_by
+            FROM agg a
+            WHERE session_seq < (SELECT max(session_seq) FROM agg b
+                                 WHERE b.host = a.host)
         """,
     }

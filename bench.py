@@ -65,6 +65,7 @@ HEADLINE = [
     "media_video_frames",
     "upsert_lifecycle",
     "stream_dedup_keys",
+    "stream_host_sessions",
 ]
 
 

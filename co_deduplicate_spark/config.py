@@ -22,6 +22,15 @@ class DedupConfig:
     # v3: corpus stage emits quality_flags
     engine_version: str = "3"
 
+    # per-kernel generation tags: a kernel REWORK that preserves semantics
+    # can still change raw signature VALUES (e.g. minhash v2 swapped
+    # per-shingle blake2b for memoized token blake2b + splitmix64 combine).
+    # Because these fields ride config_hash, a resumed workdir written by
+    # an older kernel build fails the stage-manifest match and recomputes
+    # instead of silently mixing signature generations.
+    minhash_kernel: str = "2"
+    simhash_kernel: str = "1"
+
     # --- shingling / MinHash (engine 1) ---
     shingle_k: int = 3            # tokens per shingle
     num_perms: int = 128          # MinHash permutations (north_star: 128)
@@ -40,6 +49,20 @@ class DedupConfig:
 
     # --- suffix/substring (engine 3) ---
     substring_min_tokens: int = 12  # min length of normalized text to count as contained
+
+    # --- duplicated-passage windows (pipeline engine "window") ---
+    window_tokens: int = 30         # exact-window length (suffix-array use case)
+    # df cap for window keys INSIDE the pipeline: boilerplate shared by
+    # more than this many docs is dropped from candidate generation (drop
+    # count logged to lineage — never silent). The standalone
+    # suffix_window_pairs query stays uncapped/exhaustive by design.
+    window_max_df: int = 2000
+
+    # --- embedding ANN (pipeline engine "ann") ---
+    ann_centroids: int = 32         # IVF centroid count (~sqrt(n) at scale)
+    ann_probes: int = 2             # probed buckets per vector for pair search
+    ann_threshold_micro: int = 400_000  # exact-cosine accept threshold (micro)
+    ann_kmeans_iters: int = 0       # Lloyd refinement passes (0 = seed centroids)
 
     # --- clustering ---
     cc_max_iterations: int = 50

@@ -199,8 +199,13 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int = 32,
                 r[zero, :] = -1_000_000
                 assign = r.argmax(axis=1)  # first max = lowest cid on ties
                 Vq = Vi.astype(np.int64)
-                for cid in np.unique(assign):
-                    m = assign == cid
+                # zero-norm vectors carry the sentinel assignment (cid 0 by
+                # argmax) but must NOT enter the mean update — counting a
+                # zero vector would silently drag a real centroid toward
+                # the origin. The SQL mirror applies the same exclusion.
+                valid = ~zero
+                for cid in np.unique(assign[valid]):
+                    m = valid & (assign == cid)
                     acc_s[cid] += Vq[m].sum(axis=0)
                     acc_n[cid] += int(m.sum())
             nz = np.flatnonzero(acc_n)

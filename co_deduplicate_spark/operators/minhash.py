@@ -10,7 +10,11 @@ Design choices (determinism is a hard requirement — FIXTURES.md §4):
   * base shingle hash: per-token blake2b(digest_size=8) — stable across
     processes, partitions, and runs (Python's builtin ``hash`` is salted;
     NOT used) — combined per k-gram with a vectorized splitmix64 mix
-    (shingle_hashes; PLANS.md §14a for the measured speedup).
+    (shingle_hashes; PLANS.md §14a for the measured speedup). This kernel
+    generation is tagged as ``DedupConfig.minhash_kernel`` (= "2"): bump
+    that field with any change to signature VALUES so StageCatalog resume
+    invalidates signature tables written by older kernel builds instead of
+    silently reusing them.
   * permutations: affine maps ``h -> a*h + b (mod 2^64)`` with odd ``a``.
     Odd-multiplier affine maps are bijections of Z_2^64, i.e. true
     permutations, which is exactly what MinHash needs; numpy uint64

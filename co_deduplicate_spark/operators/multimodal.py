@@ -378,11 +378,16 @@ def frame_sample_stats(media: DataFrame, every_n: int = 2,
     every ``every_n``-th frame (idx 0, n, 2n, ...), emit integer-exact
     per-frame channel sums — the frame-sample step of a media pipeline
     with the same oracle-facing stats contract as ``image_channel_stats``.
-    ``n_frames`` comes from the header walk, so skipped frames cost no
-    pixel work. Blobs that aren't BM-led containers yield no rows; note a
-    single bare BMP is, by construction, a valid 1-frame container and
-    emits its frame_idx=0 row. Sampling happens at the worker, so only
-    sampled-frame stats (not pixels) ever leave the partition."""
+    ``n_frames`` counts DECODABLE leading frames: like ``_video_frames``,
+    the walk stops at the first header-valid but non-decodable (e.g.
+    non-24bpp) frame, so a container's two consumers agree on its frame
+    count — a reported n_frames never exceeds the frames that could
+    contribute rows. (Sampled-out frames between decodable ones still
+    skip pixel work; the decodability probe is header+bpp-field only.)
+    Blobs that aren't BM-led containers yield no rows; note a single bare
+    BMP is, by construction, a valid 1-frame container and emits its
+    frame_idx=0 row. Sampling happens at the worker, so only sampled-frame
+    stats (not pixels) ever leave the partition."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
 
@@ -392,11 +397,20 @@ def frame_sample_stats(media: DataFrame, every_n: int = 2,
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob) if blob is not None else b""
                 spans = _video_frame_spans(b)
+                # truncate the span list at the first non-24bpp frame so
+                # n_frames matches _video_frames' stop-at-first-undecodable
+                # semantics (cheap: reads one header field per frame)
+                n_dec = 0
+                for off, size in spans:
+                    if struct.unpack("<H", b[off + 28 : off + 30])[0] != 24:
+                        break
+                    n_dec += 1
+                spans = spans[:n_dec]
                 for idx in range(0, len(spans), every_n):
                     off, size = spans[idx]
                     px = _bmp_decode(b[off : off + size])
-                    if px is None:  # header-valid but non-24bpp frame
-                        continue
+                    if px is None:  # decode failed beyond the bpp probe
+                        break
                     sums = px.astype(np.int64).sum(axis=(0, 1))
                     rows.append({"media_id": int(mid), "frame_idx": idx,
                                  "n_frames": len(spans),

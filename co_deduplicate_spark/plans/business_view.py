@@ -25,7 +25,7 @@ as column expressions over the assembled arrays.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.skew import salted_collect_sets, salted_count
@@ -112,13 +112,30 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
             .agg(F.array_sort(F.collect_set("_r")).alias("duplicateRules"))
         )
         hot_urls = deg.filter(F.col("_n_direct_full") > max_members_inline).select("url")
-        w = Window.partitionBy("url").orderBy("nbr")
-        capped_hot = (
-            nbrs.join(hot_urls, "url", "left_semi")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_members_inline)
-            .drop("_rn")
+        # partial top-k instead of a per-url window sort: a star-hub in a
+        # 10M-member cluster would otherwise funnel its ENTIRE edge list
+        # into one window partition. Stage 1 takes the k lowest neighbor
+        # ids per (url, salt) — each reducer sees ≤ degree/n_salts rows —
+        # stage 2 merges n_salts arrays of ≤ k and re-slices, so no
+        # reducer ever holds more than max(degree/n_salts, k·n_salts)
+        # values for one url. Ordering (lowest nbr ids win) is identical
+        # to the previous window form — deterministic either way.
+        hot_rows = nbrs.join(hot_urls, "url", "left_semi")
+        part_k = (
+            hot_rows
+            .withColumn("_salt", F.pmod(F.xxhash64(F.col("nbr").cast("string")),
+                                        F.lit(n_salts)))
+            .groupBy("url", "_salt")
+            .agg(F.slice(F.array_sort(F.collect_list("nbr")), 1,
+                         max_members_inline).alias("_part"))
         )
+        top_k = (
+            part_k.groupBy("url")
+            .agg(F.slice(F.array_sort(F.flatten(F.collect_list("_part"))), 1,
+                         max_members_inline).alias("_top"))
+            .select("url", F.explode("_top").alias("nbr"))
+        )
+        capped_hot = hot_rows.join(top_k, ["url", "nbr"], "left_semi")
         inline_rows = nbrs.join(hot_urls, "url", "left_anti").unionByName(capped_hot)
         direct = (
             inline_rows.groupBy("url")

@@ -7,12 +7,13 @@ helpers/esHelpers/client.js:18-23) and ``refresh:true`` read-your-writes
 every stage writes a table plus a manifest stamped with the config hash;
 a restarted job skips stages whose manifest matches (SURVEY.md §7 step 6).
 
-Backend: Iceberg when its runtime jars are on the classpath (production —
-``CREATE TABLE ... USING iceberg``, snapshot isolation for free), plain
-parquet directories + JSON manifests otherwise (this sandbox). The write
-protocol is rename-free and crash-safe either way: data lands under the
-final path first, the manifest is written last, and readers treat a
-missing/mismatched manifest as "stage not done".
+Backends (selected by the ``iceberg_db`` constructor arg): ``USING
+iceberg`` tables in a catalog namespace when the runtime jars are on the
+classpath (production — snapshot isolation per stage commit), plain
+parquet directories otherwise (this sandbox); JSON manifests drive the
+resume protocol either way. The write protocol is rename-free and
+crash-safe: data lands/commits first, the manifest is written last, and
+readers treat a missing/mismatched manifest as "stage not done".
 """
 
 from __future__ import annotations
@@ -36,12 +37,29 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class StageCatalog:
-    """Directory-of-tables catalog with per-stage manifests + lineage log."""
+    """Directory-of-tables catalog with per-stage manifests + lineage log.
 
-    def __init__(self, spark: SparkSession, base_dir: str, config_hash: str):
+    ``iceberg_db``: a catalog namespace (e.g. ``prod.dedup_run7``). When
+    given, stage DATA is written as ``USING iceberg`` tables in that
+    namespace (``<iceberg_db>.<stage>``) instead of parquet directories —
+    snapshot isolation per stage commit — while the tiny JSON manifests
+    (config-hash resume protocol + lineage log) stay on ``base_dir``
+    either way. Requires the Iceberg runtime on the classpath;
+    construction raises if it is absent (no silent fallback). Exercised
+    by a conditional pytest, skipped where the jars are missing (this
+    sandbox)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str, config_hash: str,
+                 iceberg_db: str | None = None):
         self.spark = spark
         self.base = Path(base_dir)
         self.config_hash = config_hash
+        if iceberg_db is not None and not iceberg_available(spark):
+            raise RuntimeError(
+                f"iceberg_db={iceberg_db!r} requested but the Iceberg Spark "
+                "runtime is not on the classpath"
+            )
+        self.iceberg_db = iceberg_db
         self.base.mkdir(parents=True, exist_ok=True)
 
     def _table_dir(self, name: str) -> Path:
@@ -94,11 +112,26 @@ class StageCatalog:
     def write(self, name: str, df: DataFrame, counters: dict | None = None) -> DataFrame:
         """Write a stage table + manifest; returns the re-read DataFrame so
         downstream stages consume the materialized (checkpointed) data, not
-        the live lineage. Row count and the per-partition profile come from
-        the parquet footers (no extra count() job)."""
-        path = str(self._table_dir(name))
-        df.write.mode("overwrite").parquet(path)
-        profile = self._partition_profile(path)
+        the live lineage. On the parquet backend, row count and the
+        per-partition profile come from the parquet footers (no extra
+        count() job); on Iceberg the count comes from the committed
+        snapshot's summary (also job-free)."""
+        if self.iceberg_db is not None:
+            full = f"{self.iceberg_db}.{name}"
+            df.writeTo(full).using("iceberg").createOrReplace()
+            out = self.spark.table(full)
+            rows = int(
+                self.spark.sql(
+                    f"SELECT summary['total-records'] AS r FROM "
+                    f"{full}.snapshots ORDER BY committed_at DESC LIMIT 1"
+                ).first()["r"]
+            )
+            profile = {"backend": "iceberg", "rows_total": rows}
+        else:
+            path = str(self._table_dir(name))
+            df.write.mode("overwrite").parquet(path)
+            profile = self._partition_profile(path)
+            out = self.spark.read.parquet(path)
         manifest = {
             "table": name,
             "config_hash": self.config_hash,
@@ -108,10 +141,13 @@ class StageCatalog:
             "counters": counters or {},
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        self._table_dir(name).mkdir(parents=True, exist_ok=True)
         self._manifest_path(name).write_text(json.dumps(manifest, indent=2))
-        return self.spark.read.parquet(path)
+        return out
 
     def read(self, name: str) -> DataFrame:
+        if self.iceberg_db is not None:
+            return self.spark.table(f"{self.iceberg_db}.{name}")
         return self.spark.read.parquet(str(self._table_dir(name)))
 
     def mark_complete(self, name: str, rows: int, counters: dict | None = None) -> None:

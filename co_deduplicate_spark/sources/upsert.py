@@ -15,12 +15,17 @@ live in ``n_buckets`` directories keyed by ``pmod(xxhash64(key), n)``; a
 mutation rewrites ONLY the buckets containing updated keys and carries
 every untouched bucket forward BY REFERENCE in the manifest (its files are
 never copied, so they stay byte-identical across unrelated upserts). The
-manifest flip is atomic (write-temp-then-rename) — readers see the old
-snapshot until the flip, a crashed writer leaves dangling (ignored)
-version dirs, and re-running the same mutation is idempotent. On a
-cluster with Iceberg on the classpath the same calls map to ``MERGE INTO``
-/ ``DELETE FROM`` (snapshot isolation + merge-on-read for free); this
-directory protocol is the sandbox fallback with the same contract.
+manifest flip is atomic (write-temp-then-rename) plus compare-and-swapped
+against the version read at mutation start (ConcurrentWriteError on a
+concurrent flip — the batch analogue of the reference's version-conflict
+retry, documentsManager.js:336-356) — readers see the old snapshot until
+the flip, a crashed writer leaves dangling (ignored) version dirs, and
+re-running the same mutation is idempotent. Constructing with
+``iceberg_table=`` DISPATCHES every call to Iceberg SQL (``MERGE INTO``
+for upsert, ``DELETE FROM`` for delete — implemented below, exercised by
+a conditional pytest that skips where the runtime jars are absent, as in
+this sandbox); the directory protocol is the jar-free path with the same
+contract.
 
 Scale: an upsert shuffles only the updated keys plus the rows of touched
 buckets — O(touched/n_buckets of the table), not O(table). A 100 TB
@@ -38,6 +43,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_TABLE_MANIFEST.json"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Raised when a manifest flip detects another writer advanced the
+    table version mid-mutation (compare-and-swap failure). The mutation's
+    version directory is left dangling (ignored by readers); the caller
+    retries against the new snapshot."""
 
 
 def ingest_defaults(df: DataFrame, uid_col: str = "url", source_col: str | None = "source",
@@ -93,12 +105,33 @@ class UpsertTable:
     """
 
     def __init__(self, spark: SparkSession, table_dir: str, key: str = "url",
-                 n_buckets: int = 32):
+                 n_buckets: int = 32, iceberg_table: str | None = None):
+        """``iceberg_table``: a catalog table identifier (e.g.
+        ``prod.db.documents``). When given, every operation dispatches to
+        Iceberg SQL — ``MERGE INTO`` for upsert, ``DELETE FROM`` for
+        delete_by_id — and the directory protocol is bypassed entirely
+        (snapshot isolation, concurrent-writer validation and
+        merge-on-read come from the Iceberg runtime; the reference's
+        server-side atomic rewrite, documentsManager.js:78-89, 330-333).
+        Requires the Iceberg Spark runtime on the classpath: construction
+        RAISES if it is absent rather than silently falling back — a
+        caller who asked for a catalog table must not get a local
+        directory. Without ``iceberg_table`` the bucketed directory
+        protocol below is used (this sandbox's path)."""
+        from .catalog import iceberg_available
+
         self.spark = spark
         self.dir = Path(table_dir)
         self.key = key
         self.requested_buckets = n_buckets
-        self.dir.mkdir(parents=True, exist_ok=True)
+        if iceberg_table is not None and not iceberg_available(spark):
+            raise RuntimeError(
+                f"iceberg_table={iceberg_table!r} requested but the Iceberg "
+                "Spark runtime is not on the classpath"
+            )
+        self.iceberg_table = iceberg_table
+        if iceberg_table is None:
+            self.dir.mkdir(parents=True, exist_ok=True)
 
     # -- manifest protocol --------------------------------------------------
     def _manifest(self) -> dict | None:
@@ -121,7 +154,22 @@ class UpsertTable:
                       F.lit(self._n_buckets()))
 
     def _flip(self, version: int, rows: int, op: str, buckets: dict[str, str],
-              schema_json: str) -> None:
+              schema_json: str, expected_version: int | None = None) -> None:
+        """Atomic manifest flip with a compare-and-swap guard: when
+        ``expected_version`` is given, the manifest is re-read immediately
+        before the rename and the flip FAILS LOUDLY if another writer moved
+        it — the batch analogue of the reference's version-conflict retry
+        (documentsManager.js:336-356). Losing the race silently would drop
+        the other writer's buckets from the manifest."""
+        if expected_version is not None:
+            cur = self._manifest()
+            cur_version = cur["version"] if cur else 0
+            if cur_version != expected_version:
+                raise ConcurrentWriteError(
+                    f"manifest at {self.dir} moved from v{expected_version} "
+                    f"to v{cur_version} during this mutation; retry against "
+                    f"the new snapshot (concurrent writer detected)"
+                )
         m = {
             "current": f"v_{version:05d}",
             "version": version,
@@ -137,9 +185,9 @@ class UpsertTable:
         tmp.write_text(json.dumps(m, indent=2))
         tmp.rename(self.dir / MANIFEST)  # atomic on POSIX
 
-    def _next_version(self) -> int:
+    def _current_version(self) -> int:
         m = self._manifest()
-        return (m["version"] + 1) if m else 1
+        return m["version"] if m else 0
 
     def _write_buckets(self, df: DataFrame, version: int) -> dict[str, str]:
         """Write df (must carry ``_bucket``) partitioned by bucket under the
@@ -150,6 +198,19 @@ class UpsertTable:
         for p in sorted((self.dir / vdir).glob("_bucket=*")):
             out[p.name.split("=", 1)[1]] = f"{vdir}/{p.name}"
         return out
+
+    def _footer_rows(self, rel_paths: list[str]) -> int:
+        """Exact row count for a set of bucket dirs from parquet footers —
+        no Spark job (the StageCatalog partition-profile trick). Keeps a
+        mutation at ONE Spark job (the bucket write); per-micro-batch
+        latency in the streaming sink is bounded by that single job."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for rel in rel_paths:
+            for f in (self.dir / rel).glob("*.parquet"):
+                total += pq.ParquetFile(str(f)).metadata.num_rows
+        return total
 
     def _read_paths(self, rel_paths: list[str], schema_json: str | None = None) -> DataFrame:
         if not rel_paths:
@@ -163,18 +224,38 @@ class UpsertTable:
         )
 
     def _write_full(self, df: DataFrame, op: str) -> DataFrame:
-        version = self._next_version()
+        expected = self._current_version()
+        version = expected + 1
         buckets = self._write_buckets(df.withColumn("_bucket", self._bucket_expr()),
                                       version)
-        out = self._read_paths(list(buckets.values()), df.schema.json())
-        self._flip(version, out.count(), op, buckets, df.schema.json())
+        self._flip(version, self._footer_rows(list(buckets.values())), op,
+                   buckets, df.schema.json(), expected_version=expected)
         return self.read()
+
+    # -- Iceberg dispatch ----------------------------------------------------
+    def _merge_into(self, updates: DataFrame) -> None:
+        """Keyed MERGE INTO via a temp view (no literal splicing of data)."""
+        view = f"_upsert_src_{abs(hash((self.iceberg_table, self.key))) % 10**8}"
+        updates.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self.iceberg_table} t USING {view} s "
+                f"ON t.{self.key} = s.{self.key} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     # -- public API ----------------------------------------------------------
     def exists(self) -> bool:
+        if self.iceberg_table is not None:
+            return self.spark.catalog.tableExists(self.iceberg_table)
         return self._manifest() is not None
 
     def read(self) -> DataFrame:
+        if self.iceberg_table is not None:
+            return self.spark.table(self.iceberg_table)
         m = self._manifest()
         if m is None:
             raise FileNotFoundError(f"no table at {self.dir}")
@@ -183,6 +264,10 @@ class UpsertTable:
     def create_if_not_exists(self, df: DataFrame) -> DataFrame:
         """S5 ``createIndiceNx``: initialize iff absent; existing data wins."""
         if self.exists():
+            return self.read()
+        if self.iceberg_table is not None:
+            df.dropDuplicates([self.key]).writeTo(self.iceberg_table).using(
+                "iceberg").create()
             return self.read()
         return self._write_full(df.dropDuplicates([self.key]), "create")
 
@@ -193,8 +278,23 @@ class UpsertTable:
         merged (anti-join old ∖ updates ∪ updates) and rewritten; all other
         buckets carry forward by manifest reference, files untouched.
         Deterministic and idempotent: upserting the same batch twice yields
-        the identical table (keyed replace, no append)."""
+        the identical table (keyed replace, no append). Cost: ONE Spark job
+        (the bucket write — localCheckpoint of the updates piggybacks the
+        touched-bucket probe); old/merged row counts come from parquet
+        footers, not count() jobs. The final flip is compare-and-swapped
+        against the version read at the start — a concurrent writer raises
+        ConcurrentWriteError instead of silently losing buckets.
+
+        On an Iceberg-backed table this is ONE ``MERGE INTO`` statement —
+        row-level merge-on-read, snapshot isolation, and concurrent-writer
+        conflict detection handled by the table format."""
         updates = updates.dropDuplicates([self.key])
+        if self.iceberg_table is not None:
+            if not self.exists():
+                updates.writeTo(self.iceberg_table).using("iceberg").create()
+            else:
+                self._merge_into(updates)
+            return self.read()
         if not self.exists():
             return self._write_full(updates, "upsert")
         m = self._manifest()
@@ -204,24 +304,43 @@ class UpsertTable:
             return self.read()
         old_rel = [m["buckets"][str(b)] for b in touched if str(b) in m["buckets"]]
         old_touched = self._read_paths(old_rel, m.get("schema"))
-        n_old_touched = old_touched.count()
+        n_old_touched = self._footer_rows(old_rel)
         kept = (
             old_touched.join(up.select(self.key), self.key, "left_anti")
             .withColumn("_bucket", self._bucket_expr())
         )
         merged = kept.unionByName(up, allowMissingColumns=True)
-        version = self._next_version()
+        version = m["version"] + 1
         new_dirs = self._write_buckets(merged, version)
         buckets = dict(m["buckets"])
         buckets.update(new_dirs)
-        n_merged = self._read_paths(list(new_dirs.values())).count()
-        rows = m["rows"] - n_old_touched + n_merged
-        schema = self._read_paths(list(buckets.values()), m.get("schema")).schema.json()
-        self._flip(version, rows, "upsert", buckets, schema)
+        rows = m["rows"] - n_old_touched + self._footer_rows(list(new_dirs.values()))
+        # merged.schema (minus the _bucket partition col, which never lands
+        # in data files) is old ∪ update columns — kept carries the stored
+        # schema via the mergeSchema read — so no all-bucket schema scan
+        self._flip(version, rows, "upsert", buckets,
+                   merged.drop("_bucket").schema.json(),
+                   expected_version=m["version"])
         return self.read()
 
     def delete_by_id(self, ids: list) -> DataFrame:
-        """S2 ``deleteById`` (row-level DELETE), batched — O(touched buckets)."""
+        """S2 ``deleteById`` (row-level DELETE), batched — O(touched
+        buckets) on the directory protocol; one ``DELETE FROM ... WHERE
+        key IN (subquery)`` on Iceberg (ids shipped via temp view, never
+        spliced into SQL text)."""
+        if self.iceberg_table is not None:
+            view = f"_delete_ids_{abs(hash((self.iceberg_table, self.key))) % 10**8}"
+            self.spark.createDataFrame(
+                [(str(i),) for i in ids], f"{self.key} string"
+            ).createOrReplaceTempView(view)
+            try:
+                self.spark.sql(
+                    f"DELETE FROM {self.iceberg_table} "
+                    f"WHERE CAST({self.key} AS STRING) IN (SELECT {self.key} FROM {view})"
+                )
+            finally:
+                self.spark.catalog.dropTempView(view)
+            return self.read()
         m = self._manifest()
         if m is None:
             raise FileNotFoundError(f"no table at {self.dir}")
@@ -234,26 +353,29 @@ class UpsertTable:
         if not old_rel:
             return self.read()
         old_touched = self._read_paths(old_rel, m.get("schema"))
-        n_old_touched = old_touched.count()
+        n_old_touched = self._footer_rows(old_rel)
         filtered = (
             old_touched.filter(~F.col(self.key).cast("string").isin([str(i) for i in ids]))
             .withColumn("_bucket", self._bucket_expr())
         )
-        version = self._next_version()
+        version = m["version"] + 1
         new_dirs = self._write_buckets(filtered, version)
         buckets = dict(m["buckets"])
         for b in touched:  # a bucket emptied by the delete disappears
             buckets.pop(str(b), None)
         buckets.update(new_dirs)
-        n_left = self._read_paths(list(new_dirs.values()), m.get("schema")).count()
+        n_left = self._footer_rows(list(new_dirs.values()))
         self._flip(version, m["rows"] - n_old_touched + n_left, "delete",
-                   buckets, m.get("schema"))
+                   buckets, m.get("schema"), expected_version=m["version"])
         return self.read()
 
     def drop(self) -> None:
         """S6 ``deleteIndiceIx``: drop iff present."""
         import shutil
 
+        if self.iceberg_table is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.iceberg_table}")
+            return
         if self.dir.exists():
             shutil.rmtree(self.dir)
 

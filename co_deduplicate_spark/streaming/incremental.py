@@ -47,13 +47,30 @@ def incremental_update(
     new_pages: DataFrame,
     cfg: DedupConfig,
     current_session: str,
+    old_signatures: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Merge a new crawl session into existing clusters.
 
     Inputs: old corpus (url, text, ...), old edges (src, dst, rules,
     session), old labels (node, component), new pages (url, text, ...).
-    Returns updated edges and labels (plus the affected-component set for
-    audit). Deterministic — re-running is idempotent.
+    ``old_signatures``: the previous session's persisted signature table
+    (``(doc, minhash, n_shingles)`` as written by the pipeline's
+    ``signatures`` stage) — when given, the MinHash kernel runs ONLY over
+    the delta (new/re-crawled urls); every other url reuses its stored
+    signature. This removes the one O(corpus) step from the delta job:
+    at 10^12 docs a session costs O(new + affected), matching the
+    reference's per-record incrementality (/root/reference/index.js:9-24 —
+    one doTheJob per arriving doc; documentsManager.js:199-204 re-reads
+    only affected docs). The caller persists ``out["signatures"]`` (e.g.
+    via StageCatalog) to feed the next session. With ``None`` the full
+    corpus is re-signed (the self-contained fallback).
+
+    Returns updated edges, labels, and the full signature table for the
+    next session (plus the affected-component set for audit).
+    Deterministic — re-running is idempotent, and the delta path produces
+    bit-identical signatures to a full recompute (same kernel, same
+    config; stale-generation reuse is excluded by the kernel version tag
+    in DedupConfig.config_hash when signatures ride a StageCatalog).
     """
     spark = new_pages.sparkSession
     # newest-wins on url collision (the reference's update-by-id semantics:
@@ -70,9 +87,23 @@ def incremental_update(
         .unionByName(new_urls_only)
     )
 
-    # 1. signatures for everything (production keeps the old signature table
-    #    and computes only the delta; recompute here is the same plan)
-    sigs = with_minhash(full_corpus, cfg, id_col="url", text_col="text")
+    # 1. signatures: delta-only when the previous session's table is
+    #    supplied — stored signatures for surviving old urls are reused
+    #    verbatim; the kernel touches only new/re-crawled urls (newest-wins
+    #    replacements are dropped from the stored table first, so a
+    #    re-crawl always re-signs). Full recompute otherwise.
+    if old_signatures is not None:
+        kept_sigs = old_signatures.select("doc", "minhash", "n_shingles").join(
+            new_urls_only.select(F.col("url").alias("doc")), "doc", "left_anti"
+        )
+        delta = full_corpus.join(
+            kept_sigs.select(F.col("doc").alias("url")), "url", "left_anti"
+        )
+        sigs = kept_sigs.unionByName(
+            with_minhash(delta, cfg, id_col="url", text_col="text")
+        )
+    else:
+        sigs = with_minhash(full_corpus, cfg, id_col="url", text_col="text")
     bands = band_table(sigs, cfg)
 
     # 2. candidates restricted to pairs touching a new doc (delta blocking)
@@ -143,7 +174,13 @@ def incremental_update(
         connected_components(scoped_edges, cfg=cfg), scope_nodes, node_col="node"
     )
 
-    # 5. untouched components keep their labels (the O(affected) property)
+    # 5. untouched components keep their labels (the O(affected) property).
+    # Precedence is DETERMINISTIC: a node present on both sides (only
+    # possible if the supplied old labels were internally inconsistent —
+    # e.g. one node under two components, one affected and one not) takes
+    # its RELABELED value via the anti-join; a dropDuplicates here would
+    # keep whichever partition's row arrived first.
     untouched = old_labels.join(affected, "component", "left_anti")
-    labels = untouched.unionByName(relabeled).dropDuplicates(["node"])
-    return {"edges": all_edges, "labels": labels, "affected_components": affected}
+    labels = untouched.join(relabeled, "node", "left_anti").unionByName(relabeled)
+    return {"edges": all_edges, "labels": labels, "affected_components": affected,
+            "signatures": sigs}

@@ -95,3 +95,12 @@ def test_business_view_truncates_mega(spark, pages, tmp_path):
     # normal records keep exact reference semantics
     normal = view.filter(~F.col("url").startswith("https://mega.example.org/"))
     assert normal.filter(F.col("truncated")).count() == 0
+
+    # hot-record adjacency is a salted partial top-k (round 4): the star
+    # hub's inline neighbors must be EXACTLY its 100 lowest neighbor urls —
+    # same result as the old single-partition window sort, but no reducer
+    # ever held the hub's full 5k-edge list
+    hub = view.filter(F.col("url") == "https://mega.example.org/p/0").first()
+    assert hub is not None and hub["truncated"] is True
+    expect = sorted(f"https://mega.example.org/p/{i}" for i in range(1, N_MEGA))[:100]
+    assert sorted(d["nbr"] for d in hub["duplicates"]) == expect

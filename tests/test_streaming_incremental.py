@@ -288,3 +288,99 @@ def test_stream_upsert_sink_exactly_once(spark, tmp_path):
     assert {r["fp"] for r in table2.read().select("fp").collect()} == want_fps
     assert table2.read().count() == len(want_fps)
     assert table2._manifest()["version"] > v1  # new snapshot, same key set
+
+
+def test_incremental_delta_signatures_skip_old(spark):
+    """The delta-signature path must (a) produce labels identical to the
+    full-recompute path and (b) actually SKIP the kernel for old urls —
+    proven by poisoning an old url's stored signature and watching the
+    poison ride through to the output signature table untouched."""
+    from co_deduplicate_spark.operators.minhash import with_minhash
+
+    texts = {
+        "a1": "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi",
+        "a2": "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi",
+        "c1": "totally unrelated content about spark adaptive query execution and skew joins",
+    }
+    old_corpus = spark.createDataFrame(list(texts.items()), "url string, text string")
+    old_edges = spark.createDataFrame(
+        [("a1", "a2", ["minhash-lsh:k3"], "s1")],
+        "src string, dst string, rules array<string>, session string",
+    )
+    old_labels = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("c1", "c1")], "node string, component string"
+    )
+    new_pages = spark.createDataFrame(
+        [("a3", texts["a1"])], "url string, text string"
+    )
+    old_sigs = with_minhash(old_corpus, CFG, id_col="url", text_col="text")
+
+    full = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG, "s2")
+    delta = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG,
+                               "s2", old_signatures=old_sigs)
+    assert sorted(map(tuple, full["labels"].collect())) == \
+        sorted(map(tuple, delta["labels"].collect()))
+
+    sentinel = [F.lit(-12345).cast("long")] * CFG.num_perms
+    poisoned = old_sigs.withColumn(
+        "minhash",
+        F.when(F.col("doc") == "c1", F.array(*sentinel)).otherwise(F.col("minhash")),
+    )
+    out = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG,
+                             "s2", old_signatures=poisoned)
+    sigs = {r["doc"]: r["minhash"] for r in out["signatures"].collect()}
+    # old url: stored (poisoned) signature reused verbatim — kernel not run
+    assert sigs["c1"][0] == -12345 and len(set(sigs["c1"])) == 1
+    # new url: real kernel output
+    assert sigs["a3"] is not None and len(set(sigs["a3"])) > 1
+    # replaced-url hygiene: every url appears exactly once
+    assert sorted(sigs) == ["a1", "a2", "a3", "c1"]
+
+
+def test_incremental_recrawl_resigns_changed_url(spark):
+    """A re-crawled url must be RE-SIGNED on the delta path (newest-wins):
+    its stale stored signature is dropped before the union, so the output
+    signature reflects the new text."""
+    from co_deduplicate_spark.operators.minhash import with_minhash
+
+    old_corpus = spark.createDataFrame(
+        [("u1", "old words entirely about apples bananas cherries dates elderberry fig")],
+        "url string, text string",
+    )
+    old_edges = spark.createDataFrame(
+        [], "src string, dst string, rules array<string>, session string")
+    old_labels = spark.createDataFrame([("u1", "u1")], "node string, component string")
+    new_text = "replacement body with wholly different vocabulary tokens present today"
+    new_pages = spark.createDataFrame([("u1", new_text)], "url string, text string")
+    old_sigs = with_minhash(old_corpus, CFG, id_col="url", text_col="text")
+    out = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG,
+                             "s2", old_signatures=old_sigs)
+    got = out["signatures"].filter(F.col("doc") == "u1").collect()
+    assert len(got) == 1
+    want = with_minhash(new_pages, CFG, id_col="url", text_col="text").first()["minhash"]
+    assert got[0]["minhash"] == want
+
+
+def test_incremental_inconsistent_old_labels_relabeled_wins(spark):
+    """If the supplied old labels are internally inconsistent (a node under
+    two components, one affected and one not), the RELABELED value must win
+    deterministically — never partition-order roulette."""
+    old_corpus = spark.createDataFrame(
+        [("x", "first document about completely standalone topics nobody else covers"),
+         ("y", "second document body that the new crawl will duplicate exactly verbatim")],
+        "url string, text string",
+    )
+    old_edges = spark.createDataFrame(
+        [], "src string, dst string, rules array<string>, session string")
+    old_labels = spark.createDataFrame(
+        [("x", "cA"), ("x", "cB"), ("y", "cA")], "node string, component string"
+    )
+    new_pages = spark.createDataFrame(
+        [("n1", "second document body that the new crawl will duplicate exactly verbatim")],
+        "url string, text string",
+    )
+    for _ in range(2):  # stable across repeated runs
+        out = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG, "s2")
+        rows = out["labels"].filter(F.col("node") == "x").collect()
+        assert len(rows) == 1
+        assert rows[0]["component"] == "x"  # relabeled (affected-scope) value

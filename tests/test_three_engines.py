@@ -78,3 +78,55 @@ def test_main_entrypoint_smoke(spark, tmp_path, capsys):
     assert stats["docs"] == 200
     assert stats["duplicate_clusters"] > 0
     assert stats["engines"] == ["minhash", "substring"]
+
+
+def test_window_and_ann_pipeline_engines(spark, tmp_path):
+    """Round-4 engine promotion: duplicated-passage windows and embedding
+    ANN ride the same provenance union → CC → clusters as the other
+    engines (previously standalone-query-only)."""
+    from co_deduplicate_spark.sources.pages import render_html
+
+    passage = " ".join(f"shared{i} passage{i}" for i in range(20))  # 40 tokens
+    texts = {
+        "https://w.example.org/u1": passage + " first unique closing words here",
+        "https://w.example.org/u2": passage + " second distinct ending entirely",
+        "https://w.example.org/u3": "standalone third document body with own vocabulary",
+        "https://w.example.org/u4": "standalone fourth document body nothing shared",
+        "https://w.example.org/u5": "standalone fifth document body also isolated",
+    }
+    pages = spark.createDataFrame(
+        [(u, "2024-01-01 00:00:00", render_html(t, u), t, "en")
+         for u, t in texts.items()],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    # embeddings: u3 and u4 share a vector (cos=1), everyone else orthogonal
+    one_hot = {u: i for i, u in enumerate(sorted(texts))}
+    one_hot["https://w.example.org/u4"] = one_hot["https://w.example.org/u3"]
+    emb = spark.createDataFrame(
+        [(u, [1.0 if d == one_hot[u] else 0.0 for d in range(8)])
+         for u in texts],
+        "url string, embedding array<double>",
+    )
+    cfg = DedupConfig(ann_centroids=4, ann_probes=2)
+    out = run_pipeline(
+        spark, pages, str(tmp_path / "wk_wa"), cfg,
+        engines=("window", "ann"), embeddings=emb,
+    )
+    edges = {(r["src"], r["dst"]): r["rules"]
+             for r in out["candidate_edges"].collect()}
+    w_pair = ("https://w.example.org/u1", "https://w.example.org/u2")
+    a_pair = ("https://w.example.org/u3", "https://w.example.org/u4")
+    assert any(r.startswith("window:w30") for r in edges[w_pair])
+    assert any(r.startswith("ann-cosine:") for r in edges[a_pair])
+    comp = {r["node"]: r["component"]
+            for r in out["cluster_labels"].collect()}
+    assert comp[w_pair[0]] == comp[w_pair[1]]
+    assert comp[a_pair[0]] == comp[a_pair[1]]
+    assert comp[w_pair[0]] != comp[a_pair[0]]
+    assert comp["https://w.example.org/u5"] not in (comp[w_pair[0]], comp[a_pair[0]])
+
+
+def test_ann_engine_requires_embeddings(spark, tmp_path):
+    pages = synth_pages(spark, 10, seed=1)
+    with pytest.raises(ValueError, match="embeddings"):
+        run_pipeline(spark, pages, str(tmp_path / "wk_noemb"), CFG, engines=("ann",))

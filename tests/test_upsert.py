@@ -178,3 +178,95 @@ def test_bulk_create_throw_after_side_channel(spark, tbl, tmp_path):
     # side channel and accepted rows are fully written before the throw
     assert spark.read.parquet(rej_dir).count() == 1
     assert {r.url for r in tbl.read().collect()} == {"b"}
+
+
+def test_concurrent_flip_raises_not_loses(spark, tmp_path):
+    """CAS on the manifest flip: a writer whose read version was overtaken
+    mid-mutation must FAIL LOUDLY (ConcurrentWriteError), leaving the
+    interposed manifest — and every bucket it references — intact. The
+    batch analogue of the reference's version-conflict retry
+    (documentsManager.js:336-356)."""
+    import json as _json
+
+    from co_deduplicate_spark.sources.upsert import MANIFEST, ConcurrentWriteError
+
+    t = UpsertTable(spark, str(tmp_path / "cas_tbl"), key="k", n_buckets=4)
+    t.create_if_not_exists(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    )
+    orig = t._write_buckets
+
+    def racing(df, version):
+        out = orig(df, version)
+        # another writer lands a newer manifest between our bucket write
+        # and our flip
+        p = t.dir / MANIFEST
+        m = _json.loads(p.read_text())
+        m["version"] += 1
+        p.write_text(_json.dumps(m))
+        return out
+
+    t._write_buckets = racing
+    with pytest.raises(ConcurrentWriteError, match="moved from"):
+        t.upsert(spark.createDataFrame([("a", 9)], "k string, v int"))
+    # the table is still fully readable at the interposed version — the
+    # losing writer's dangling version dir is ignored, no buckets lost
+    fresh = UpsertTable(spark, str(tmp_path / "cas_tbl"), key="k")
+    assert {(r["k"], r["v"]) for r in fresh.read().collect()} == {("a", 1), ("b", 2)}
+
+
+def test_upsert_counts_from_footers(spark, tmp_path):
+    """Manifest row counts must stay exact through upsert/delete now that
+    they derive from parquet footers instead of count() jobs."""
+    t = UpsertTable(spark, str(tmp_path / "footer_tbl"), key="k", n_buckets=4)
+    t.create_if_not_exists(
+        spark.createDataFrame([(str(i), i) for i in range(20)], "k string, v int")
+    )
+    assert t._manifest()["rows"] == 20
+    t.upsert(spark.createDataFrame([("5", 99), ("100", 1)], "k string, v int"))
+    assert t._manifest()["rows"] == 21
+    assert t.read().count() == 21
+    t.delete_by_id(["5", "6", "7", "no-such-key"])
+    assert t._manifest()["rows"] == 18
+    assert t.read().count() == 18
+
+
+def test_iceberg_table_requires_runtime(spark, tmp_path):
+    """Asking for an Iceberg-backed table without the runtime jars must
+    raise at construction — never silently fall back to a local dir."""
+    from co_deduplicate_spark.sources.catalog import StageCatalog, iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present; dispatch covered by "
+                    "test_iceberg_dispatch_lifecycle")
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        UpsertTable(spark, str(tmp_path / "ice"), key="k", iceberg_table="db.t")
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        StageCatalog(spark, str(tmp_path / "icecat"), "h", iceberg_db="db")
+
+
+def test_iceberg_dispatch_lifecycle(spark, tmp_path):
+    """Full S5/S3/S8/S2/S6 lifecycle through the Iceberg SQL dispatch
+    (MERGE INTO / DELETE FROM). Skipped where the Iceberg Spark runtime is
+    not on the classpath (this sandbox); on a cluster with the jars this
+    is the production write path."""
+    from co_deduplicate_spark.sources.catalog import iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg Spark runtime not on classpath (sandbox)")
+    spark.conf.set("spark.sql.catalog.graft_test",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.graft_test.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.graft_test.warehouse",
+                   str(tmp_path / "warehouse"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_test.db")
+    t = UpsertTable(spark, str(tmp_path / "unused"), key="k",
+                    iceberg_table="graft_test.db.t")
+    t.drop()
+    t.create_if_not_exists(
+        spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int"))
+    t.upsert(spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int"))
+    t.delete_by_id(["a"])
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {("b", 20), ("c", 3)}
+    t.drop()
+    assert not t.exists()
