@@ -28,10 +28,11 @@ def parse_args(argv):
                    help="pages table: parquet/iceberg path, or synth:N for the synthetic corpus")
     p.add_argument("--workdir", required=True, help="stage-table directory (checkpoint/resume root)")
     p.add_argument("--engines", default="minhash",
-                   help="comma list of minhash,simhash,substring,rules "
+                   help="comma list of minhash,simhash,substring,rules,window "
                         "(default minhash; rules uses the built-in page "
                         "scenario spec unless run_pipeline is called with "
-                        "a custom RuleEngineSpec)")
+                        "a custom RuleEngineSpec; the ann engine needs an "
+                        "embeddings DataFrame and is API-only)")
     p.add_argument("--no-resume", action="store_true", help="ignore existing stage manifests")
     p.add_argument("--exact-buckets", action="store_true",
                    help="opt OUT of the default mega-bucket star reduction: emit exact "

@@ -384,3 +384,59 @@ def test_incremental_inconsistent_old_labels_relabeled_wins(spark):
         rows = out["labels"].filter(F.col("node") == "x").collect()
         assert len(rows) == 1
         assert rows[0]["component"] == "x"  # relabeled (affected-scope) value
+
+
+def test_run_incremental_session_stateful(spark, tmp_path):
+    """Two crawl sessions through the StageCatalog-backed session driver:
+    state persists between calls, session 2 runs on the DELTA signature
+    path (proven by poisoning the stored table between sessions), and the
+    per-session lineage records the delta size."""
+    import json as _json
+    import shutil
+    from pathlib import Path
+
+    from co_deduplicate_spark.streaming.incremental import run_incremental_session
+
+    wk = str(tmp_path / "sessions")
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    s1_pages = spark.createDataFrame(
+        [("a1", dup_text), ("a2", dup_text),
+         ("c1", "totally unrelated content about adaptive query execution and skew")],
+        "url string, text string",
+    )
+    out1 = run_incremental_session(spark, wk, s1_pages, CFG, "s1")
+    l1 = {r["node"]: r["component"] for r in out1["labels"].collect()}
+    assert l1["a1"] == l1["a2"] != l1["c1"]
+    assert _json.loads((Path(wk) / "_CURRENT.json").read_text())["session"] == "s1"
+
+    # poison c1's STORED signature (keep the stage manifest): session 2
+    # must carry the poison through, proving old urls are never re-signed
+    sig_dir = Path(wk) / "signatures__s1"
+    sigs = spark.read.parquet(str(sig_dir))
+    sentinel = [F.lit(-7).cast("long")] * CFG.num_perms
+    poisoned = sigs.withColumn(
+        "minhash",
+        F.when(F.col("doc") == "c1", F.array(*sentinel)).otherwise(F.col("minhash")),
+    )
+    tmp_dir = str(tmp_path / "poisoned_sigs")
+    poisoned.write.mode("overwrite").parquet(tmp_dir)
+    for f in sig_dir.glob("*.parquet"):
+        f.unlink()
+    for f in Path(tmp_dir).glob("*.parquet"):
+        shutil.copy(str(f), str(sig_dir / f.name))
+
+    s2_pages = spark.createDataFrame([("a3", dup_text)], "url string, text string")
+    out2 = run_incremental_session(spark, wk, s2_pages, CFG, "s2")
+    l2 = {r["node"]: r["component"] for r in out2["labels"].collect()}
+    assert l2["a3"] == l2["a1"] == l2["a2"]
+    assert sorted(l2) == ["a1", "a2", "a3", "c1"]
+    sig2 = {r["doc"]: r["minhash"] for r in out2["signatures"].collect()}
+    assert sig2["c1"][0] == -7          # stored signature reused, kernel skipped
+    assert len(set(sig2["a3"])) > 1     # new url really signed
+    assert _json.loads((Path(wk) / "_CURRENT.json").read_text())["session"] == "s2"
+    lineage = [
+        _json.loads(line) for line in (Path(wk) / "lineage.jsonl").read_text().splitlines()
+    ]
+    s2_rec = [r for r in lineage if r["stage"] == "session__s2"][-1]
+    assert s2_rec["sig_delta_rows"] == 1
+    assert s2_rec["corpus_rows"] == 4
