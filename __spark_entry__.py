@@ -44,19 +44,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCRATCH_ROOTS: set = set()
+
+
 def _scratch(sf_dir: str, family: str) -> str:
     """Per-process scratch dir for queries that materialize state (upsert
     tables, stream checkpoints): tmpfs when available, keyed by sf tag AND
     pid so concurrent invocations at the same scale factor (e.g. bench and
     correctness runs in parallel) never race on table state or
-    checkpoints. Each query still pre-cleans its own path, so repeated
-    in-process invocations don't accumulate."""
+    checkpoints. Each query still pre-cleans its own path. Against
+    accumulation of RAM-backed garbage across processes: this process's
+    roots are rmtree'd at exit (atexit, registered once per root), and
+    sibling ``{family}_<pid>`` dirs whose owning pid no longer exists are
+    pruned eagerly — a SIGKILLed bench run's leftovers go away on the next
+    invocation instead of living in /dev/shm forever."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     tag = os.path.basename(sf_dir.rstrip("/"))
-    return f"{base}/{family}_{os.getpid()}/{tag}"
+    root = f"{base}/{family}_{os.getpid()}"
+    if root not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        # prune siblings owned by dead processes (same family only)
+        try:
+            import glob
+
+            for sib in glob.glob(f"{base}/{family}_*"):
+                pid_part = sib.rsplit("_", 1)[-1]
+                if not pid_part.isdigit() or int(pid_part) == os.getpid():
+                    continue
+                try:
+                    os.kill(int(pid_part), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(sib, ignore_errors=True)
+                except (PermissionError, ValueError):
+                    pass
+        except OSError:
+            pass
+    return f"{root}/{tag}"
 
 
 # --------------------------------------------------------------------------

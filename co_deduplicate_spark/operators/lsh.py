@@ -37,6 +37,35 @@ from pyspark.sql import functions as F
 from ..config import DedupConfig
 
 
+def nested_band_table(signatures: DataFrame, cfg: DedupConfig,
+                      doc_col: str = "doc", sig_col: str = "minhash") -> DataFrame:
+    """(doc, band_hashes array<bigint>) — ONE row per doc, band_id implied
+    by array position. This is the KEYED form of the band table, suitable
+    for a per-doc MERGE into an UpsertTable / Iceberg table: a session's
+    band-state delta is O(new docs) rows, while the exploded long form
+    (32 rows/doc) has no stable single-column key to merge on. band_hash =
+    xxhash64 of the band's signature slice, all whole-stage codegen; NULL
+    signatures (non-deduplicable docs) are dropped."""
+    r = cfg.lsh_rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col(sig_col), b * r + 1, r)),
+    )
+    return (
+        signatures.filter(F.col(sig_col).isNotNull())
+        .select(F.col(doc_col).alias("doc"), bands.alias("band_hashes"))
+    )
+
+
+def explode_nested_bands(nested: DataFrame) -> DataFrame:
+    """Nested per-doc band rows → the long (doc, band_id, band_hash) form
+    the blocking join runs on. A map-only posexplode: reading a stored
+    nested band table and exploding it shuffles nothing."""
+    return nested.select(
+        "doc", F.posexplode("band_hashes").alias("band_id", "band_hash")
+    )
+
+
 def band_table(signatures: DataFrame, cfg: DedupConfig, doc_col: str = "doc",
                sig_col: str = "minhash") -> DataFrame:
     """Explode each signature into (doc, band_id, band_hash).
@@ -45,15 +74,7 @@ def band_table(signatures: DataFrame, cfg: DedupConfig, doc_col: str = "doc",
     single ``transform`` over a compile-time band sequence, then
     posexploded; NULL signatures (non-deduplicable docs) are dropped here.
     """
-    r = cfg.lsh_rows_per_band
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
-        lambda b: F.xxhash64(F.slice(F.col(sig_col), b * r + 1, r)),
-    )
-    return (
-        signatures.filter(F.col(sig_col).isNotNull())
-        .select(F.col(doc_col).alias("doc"), F.posexplode(bands).alias("band_id", "band_hash"))
-    )
+    return explode_nested_bands(nested_band_table(signatures, cfg, doc_col, sig_col))
 
 
 # above this many hot buckets the broadcast fast path is abandoned for a

@@ -115,21 +115,36 @@ def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> byte
     )
 
 
+def _bmp_header_ok(b: bytes, off: int = 0, size: int | None = None) -> bool:
+    """Header-only decodability probe: True iff ``_bmp_decode`` on the slice
+    ``b[off:off+size]`` would succeed. Mirrors EVERY rejection _bmp_decode
+    applies (magic, bpp, compression, dimensions, pixel-data bounds) so the
+    two consumers of a container — ``frame_sample_stats``'s n_frames count
+    and ``_video_frames``'s decode walk — can never disagree on which
+    frames are decodable, without paying a pixel decode per frame."""
+    end = len(b) if size is None else off + size
+    if end - off < 54 or b[off : off + 2] != b"BM":
+        return False
+    data_off = struct.unpack("<I", b[off + 10 : off + 14])[0]
+    w = struct.unpack("<i", b[off + 18 : off + 22])[0]
+    h_raw = struct.unpack("<i", b[off + 22 : off + 26])[0]
+    bpp = struct.unpack("<H", b[off + 28 : off + 30])[0]
+    comp = struct.unpack("<I", b[off + 30 : off + 34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h_raw == 0:
+        return False
+    row_size = ((w * 3 + 3) // 4) * 4
+    return end - off >= data_off + row_size * abs(h_raw)
+
+
 def _bmp_decode(b: bytes) -> np.ndarray | None:
     """Uncompressed 24-bit BI_RGB BMP → HxWx3 uint8 RGB array (pure numpy)."""
-    if len(b) < 54 or b[:2] != b"BM":
+    if not _bmp_header_ok(b):
         return None
     data_off = struct.unpack("<I", b[10:14])[0]
     w = struct.unpack("<i", b[18:22])[0]
     h_raw = struct.unpack("<i", b[22:26])[0]
-    bpp = struct.unpack("<H", b[28:30])[0]
-    comp = struct.unpack("<I", b[30:34])[0]
-    if bpp != 24 or comp != 0 or w <= 0 or h_raw == 0:
-        return None
     bottom_up, h = h_raw > 0, abs(h_raw)
     row_size = ((w * 3 + 3) // 4) * 4
-    if len(b) < data_off + row_size * h:
-        return None
     rows = np.frombuffer(b, dtype=np.uint8, count=row_size * h, offset=data_off)
     px = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
     return px[::-1] if bottom_up else px
@@ -397,12 +412,14 @@ def frame_sample_stats(media: DataFrame, every_n: int = 2,
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(blob) if blob is not None else b""
                 spans = _video_frame_spans(b)
-                # truncate the span list at the first non-24bpp frame so
+                # truncate the span list at the first non-decodable frame so
                 # n_frames matches _video_frames' stop-at-first-undecodable
-                # semantics (cheap: reads one header field per frame)
+                # semantics — the probe applies _bmp_decode's FULL header
+                # validation (bpp, compression, dimensions, pixel bounds),
+                # still without any pixel decode
                 n_dec = 0
                 for off, size in spans:
-                    if struct.unpack("<H", b[off + 28 : off + 30])[0] != 24:
+                    if not _bmp_header_ok(b, off, size):
                         break
                     n_dec += 1
                 spans = spans[:n_dec]

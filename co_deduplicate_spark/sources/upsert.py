@@ -153,6 +153,66 @@ class UpsertTable:
         return F.pmod(F.xxhash64(F.col(self.key).cast("string")),
                       F.lit(self._n_buckets()))
 
+    def _claim_version(self, version: int) -> None:
+        """Exclusively claim a version number BEFORE any data is written:
+        an O_EXCL-created marker file makes the loser of a concurrent race
+        fail up front, closing the check-then-rename TOCTOU window (two
+        writers that both read v_n could otherwise both pass the _flip
+        version re-check, and the second rename would silently clobber the
+        first manifest). Claim files persist after commit so a straggler
+        that read a stale snapshot can never re-claim — and overwrite the
+        data directories of — an already-committed version. A claim whose
+        local owner pid is dead and whose version was never committed is
+        broken automatically (crashed writer); cross-HOST exclusivity is
+        delegated to the Iceberg backend (``iceberg_table=``), where the
+        catalog's atomic swap provides it."""
+        import os
+
+        self.dir.mkdir(parents=True, exist_ok=True)  # first write on a fresh table
+        p = self.dir / f".claim_v_{version:05d}"
+        payload = json.dumps({"pid": os.getpid(), "at": time.time()})
+
+        def _try_claim() -> bool:
+            try:
+                fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            return True
+
+        if _try_claim():
+            return
+        if self._current_version() >= version:
+            raise ConcurrentWriteError(
+                f"version v{version} of {self.dir} is already committed; "
+                "retry against the new snapshot (concurrent writer detected)"
+            )
+        try:
+            owner = json.loads(p.read_text()).get("pid")
+        except (OSError, json.JSONDecodeError, AttributeError):
+            owner = None
+        alive = False
+        if owner is not None:
+            try:
+                os.kill(int(owner), 0)
+                alive = True
+            except (ProcessLookupError, ValueError):
+                alive = False
+            except PermissionError:
+                alive = True
+        if alive:
+            raise ConcurrentWriteError(
+                f"version v{version} of {self.dir} already claimed by live "
+                f"pid {owner}; retry against the new snapshot"
+            )
+        p.unlink(missing_ok=True)  # break the dead writer's claim
+        if not _try_claim():
+            raise ConcurrentWriteError(
+                f"version v{version} of {self.dir} re-claimed concurrently; "
+                "retry against the new snapshot"
+            )
+
     def _flip(self, version: int, rows: int, op: str, buckets: dict[str, str],
               schema_json: str, expected_version: int | None = None) -> None:
         """Atomic manifest flip with a compare-and-swap guard: when
@@ -160,7 +220,9 @@ class UpsertTable:
         before the rename and the flip FAILS LOUDLY if another writer moved
         it — the batch analogue of the reference's version-conflict retry
         (documentsManager.js:336-356). Losing the race silently would drop
-        the other writer's buckets from the manifest."""
+        the other writer's buckets from the manifest. True exclusivity
+        comes from ``_claim_version`` (taken before any data write); this
+        re-check is belt-and-braces for callers of legacy flows."""
         if expected_version is not None:
             cur = self._manifest()
             cur_version = cur["version"] if cur else 0
@@ -226,6 +288,7 @@ class UpsertTable:
     def _write_full(self, df: DataFrame, op: str) -> DataFrame:
         expected = self._current_version()
         version = expected + 1
+        self._claim_version(version)
         buckets = self._write_buckets(df.withColumn("_bucket", self._bucket_expr()),
                                       version)
         self._flip(version, self._footer_rows(list(buckets.values())), op,
@@ -311,6 +374,7 @@ class UpsertTable:
         )
         merged = kept.unionByName(up, allowMissingColumns=True)
         version = m["version"] + 1
+        self._claim_version(version)
         new_dirs = self._write_buckets(merged, version)
         buckets = dict(m["buckets"])
         buckets.update(new_dirs)
@@ -344,10 +408,13 @@ class UpsertTable:
         m = self._manifest()
         if m is None:
             raise FileNotFoundError(f"no table at {self.dir}")
+        # _bucket_expr (NOT an inline xxhash64): the shared expression casts
+        # the key to string before hashing, so ids land in the same bucket
+        # as stored rows for ANY key type (a long/float/timestamp key hashed
+        # raw would probe the wrong bucket and silently miss the delete)
         id_df = self.spark.createDataFrame(
             [(str(i),) for i in ids], f"{self.key} string"
-        ).withColumn("_bucket", F.pmod(F.xxhash64(F.col(self.key)),
-                                       F.lit(self._n_buckets())))
+        ).withColumn("_bucket", self._bucket_expr())
         touched = sorted(r["_bucket"] for r in id_df.select("_bucket").distinct().collect())
         old_rel = [m["buckets"][str(b)] for b in touched if str(b) in m["buckets"]]
         if not old_rel:
@@ -359,6 +426,7 @@ class UpsertTable:
             .withColumn("_bucket", self._bucket_expr())
         )
         version = m["version"] + 1
+        self._claim_version(version)
         new_dirs = self._write_buckets(filtered, version)
         buckets = dict(m["buckets"])
         for b in touched:  # a bucket emptied by the delete disappears
@@ -378,6 +446,27 @@ class UpsertTable:
             return
         if self.dir.exists():
             shutil.rmtree(self.dir)
+
+
+def retry_on_conflict(mutate, times: int = 6, delay_ms: int = 166):
+    """Caller-side conflict retry — the batch completion of the reference's
+    optimistic version-conflict loop (/root/reference/src/documentsManager.js:
+    336-356: 6 attempts, 166 ms apart, state refreshed between attempts).
+
+    ``mutate`` is a zero-arg callable that must RE-READ the table's current
+    snapshot and RE-DERIVE its updates on every attempt (a closure over a
+    DataFrame read before the conflict would replay stale state — exactly
+    the hazard the reference's refresh-between-retries avoids). Returns
+    ``mutate()``'s result; re-raises the last ConcurrentWriteError after
+    exhausting the attempts."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(max(1, times)):
+        try:
+            return mutate()
+        except ConcurrentWriteError as e:
+            last = e
+            time.sleep(delay_ms / 1000.0)
+    raise last
 
 
 def bulk_create(table: UpsertTable, docs: DataFrame,

@@ -386,21 +386,24 @@ def test_incremental_inconsistent_old_labels_relabeled_wins(spark):
         assert rows[0]["component"] == "x"  # relabeled (affected-scope) value
 
 
+DUP_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+
+
 def test_run_incremental_session_stateful(spark, tmp_path):
-    """Two crawl sessions through the StageCatalog-backed session driver:
+    """Two crawl sessions through the UpsertTable-backed session driver:
     state persists between calls, session 2 runs on the DELTA signature
-    path (proven by poisoning the stored table between sessions), and the
-    per-session lineage records the delta size."""
+    path (proven by poisoning the stored signature table between sessions
+    through the table's own keyed MERGE), and the per-session lineage
+    records the delta size."""
     import json as _json
-    import shutil
     from pathlib import Path
 
+    from co_deduplicate_spark.sources.upsert import UpsertTable
     from co_deduplicate_spark.streaming.incremental import run_incremental_session
 
     wk = str(tmp_path / "sessions")
-    dup_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     s1_pages = spark.createDataFrame(
-        [("a1", dup_text), ("a2", dup_text),
+        [("a1", DUP_TEXT), ("a2", DUP_TEXT),
          ("c1", "totally unrelated content about adaptive query execution and skew")],
         "url string, text string",
     )
@@ -409,23 +412,16 @@ def test_run_incremental_session_stateful(spark, tmp_path):
     assert l1["a1"] == l1["a2"] != l1["c1"]
     assert _json.loads((Path(wk) / "_CURRENT.json").read_text())["session"] == "s1"
 
-    # poison c1's STORED signature (keep the stage manifest): session 2
+    # poison c1's STORED signature via the table's own MERGE: session 2
     # must carry the poison through, proving old urls are never re-signed
-    sig_dir = Path(wk) / "signatures__s1"
-    sigs = spark.read.parquet(str(sig_dir))
+    sigs_t = UpsertTable(spark, str(Path(wk) / "signatures"), key="doc")
     sentinel = [F.lit(-7).cast("long")] * CFG.num_perms
-    poisoned = sigs.withColumn(
-        "minhash",
-        F.when(F.col("doc") == "c1", F.array(*sentinel)).otherwise(F.col("minhash")),
+    sigs_t.upsert(
+        sigs_t.read().filter(F.col("doc") == "c1")
+        .withColumn("minhash", F.array(*sentinel))
     )
-    tmp_dir = str(tmp_path / "poisoned_sigs")
-    poisoned.write.mode("overwrite").parquet(tmp_dir)
-    for f in sig_dir.glob("*.parquet"):
-        f.unlink()
-    for f in Path(tmp_dir).glob("*.parquet"):
-        shutil.copy(str(f), str(sig_dir / f.name))
 
-    s2_pages = spark.createDataFrame([("a3", dup_text)], "url string, text string")
+    s2_pages = spark.createDataFrame([("a3", DUP_TEXT)], "url string, text string")
     out2 = run_incremental_session(spark, wk, s2_pages, CFG, "s2")
     l2 = {r["node"]: r["component"] for r in out2["labels"].collect()}
     assert l2["a3"] == l2["a1"] == l2["a2"]
@@ -440,3 +436,148 @@ def test_run_incremental_session_stateful(spark, tmp_path):
     s2_rec = [r for r in lineage if r["stage"] == "session__s2"][-1]
     assert s2_rec["sig_delta_rows"] == 1
     assert s2_rec["corpus_rows"] == 4
+
+
+def test_session_band_table_read_not_recomputed(spark, tmp_path):
+    """The blocking stage must READ the persisted band table for old urls,
+    never rebuild it from signatures: poisoning the stored band rows of
+    BOTH old duplicates (signatures left intact) makes a matching new doc
+    find no candidates — observable as a singleton label — and the poison
+    rides through to the post-session stored band table."""
+    from pathlib import Path
+
+    from co_deduplicate_spark.sources.upsert import UpsertTable
+    from co_deduplicate_spark.streaming.incremental import run_incremental_session
+
+    wk = str(tmp_path / "band_sessions")
+    s1_pages = spark.createDataFrame(
+        [("a1", DUP_TEXT), ("a2", DUP_TEXT)], "url string, text string"
+    )
+    run_incremental_session(spark, wk, s1_pages, CFG, "s1")
+
+    bands_t = UpsertTable(spark, str(Path(wk) / "bands"), key="doc")
+    sentinel = [F.lit(-99).cast("long")] * CFG.lsh_bands
+    bands_t.upsert(bands_t.read().withColumn("band_hashes", F.array(*sentinel)))
+
+    s2_pages = spark.createDataFrame([("a3", DUP_TEXT)], "url string, text string")
+    out2 = run_incremental_session(spark, wk, s2_pages, CFG, "s2")
+    l2 = {r["node"]: r["component"] for r in out2["labels"].collect()}
+    # a3's bands would match a1/a2's REAL bands (identical text, and the
+    # stored signatures are untouched) — the only way a3 ends up alone is
+    # that the probe ran against the stored (poisoned) band table
+    assert l2["a3"] != l2["a1"]
+    assert l2["a1"] == l2["a2"]  # s1 edge still carries the old cluster
+    stored = {r["doc"]: list(r["band_hashes"])
+              for r in bands_t.read().collect()}
+    assert stored["a1"][0] == -99 and stored["a2"][0] == -99  # poison survived
+    assert all(h != -99 for h in stored["a3"])                # delta really banded
+
+
+def test_untouched_old_edges_ride_through_verbatim(spark):
+    """Delta-scoped edge maintenance: an old pair not touched by any new
+    edge must pass through WITHOUT re-aggregation — proven by a poisoned
+    rules array (duplicate entries, reversed order) that any
+    array_distinct/flatten re-aggregation would normalize away — while
+    touched pairs get the per-pair rule union."""
+    from co_deduplicate_spark.streaming.incremental import incremental_update
+
+    old_corpus = spark.createDataFrame(
+        [("a1", DUP_TEXT), ("a2", DUP_TEXT),
+         ("z1", "zeta document body nothing else resembles this vocabulary at all"),
+         ("z2", "zeta document body nothing else resembles this vocabulary at all")],
+        "url string, text string",
+    )
+    poison_rules = ["z-rule", "z-rule", "a-rule"]  # dupes + order = tamper-evident
+    old_edges = spark.createDataFrame(
+        [("a1", "a2", ["minhash-lsh:k3"], "s1"), ("z1", "z2", poison_rules, "s1")],
+        "src string, dst string, rules array<string>, session string",
+    )
+    old_labels = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("z1", "z1"), ("z2", "z1")],
+        "node string, component string",
+    )
+    new_pages = spark.createDataFrame([("a3", DUP_TEXT)], "url string, text string")
+    out = incremental_update(old_corpus, old_edges, old_labels, new_pages, CFG, "s2")
+    edges = {(r["src"], r["dst"]): (list(r["rules"]), r["session"])
+             for r in out["edges"].collect()}
+    # untouched pair: poisoned rules array byte-identical, session stamp kept
+    assert edges[("z1", "z2")] == (poison_rules, "s1")
+    # and it is NOT in the delta the stateful caller would persist
+    touched = {(r["src"], r["dst"]) for r in out["touched_edges"].collect()}
+    assert ("z1", "z2") not in touched
+    assert ("a1", "a3") in touched or ("a2", "a3") in touched
+
+
+def test_session_config_change_gate(spark, tmp_path):
+    """A config/kernel-generation change must never silently mix stored
+    signatures with new-generation delta signatures: the pointer gate
+    raises by default; reset_on_config_change=True drops the derived
+    tables and rebuilds from the stored raw corpus (full recompute), with
+    old-vs-new duplicates still found."""
+    from dataclasses import replace
+
+    import pytest as _pytest
+
+    from co_deduplicate_spark.streaming.incremental import run_incremental_session
+
+    wk = str(tmp_path / "cfg_sessions")
+    s1_pages = spark.createDataFrame(
+        [("a1", DUP_TEXT), ("a2", DUP_TEXT)], "url string, text string"
+    )
+    run_incremental_session(spark, wk, s1_pages, CFG, "s1")
+
+    cfg2 = replace(CFG, minhash_kernel="999")
+    s2_pages = spark.createDataFrame([("a3", DUP_TEXT)], "url string, text string")
+    with _pytest.raises(RuntimeError, match="generations"):
+        run_incremental_session(spark, wk, s2_pages, cfg2, "s2")
+
+    out = run_incremental_session(spark, wk, s2_pages, cfg2, "s2",
+                                  reset_on_config_change=True)
+    l2 = {r["node"]: r["component"] for r in out["labels"].collect()}
+    assert l2["a3"] == l2["a1"] == l2["a2"]  # rebuilt generation still clusters
+    # and a THIRD session under cfg2 proceeds on the delta path again
+    s3_pages = spark.createDataFrame([("a4", DUP_TEXT)], "url string, text string")
+    out3 = run_incremental_session(spark, wk, s3_pages, cfg2, "s3")
+    l3 = {r["node"]: r["component"] for r in out3["labels"].collect()}
+    assert l3["a4"] == l3["a1"]
+
+
+def test_session_state_merged_not_rewritten(spark, tmp_path):
+    """Per-session state I/O is O(delta buckets): after session 2, every
+    corpus bucket that contains no session-2 url still points at its
+    session-1 version directory with byte-identical files — carried by
+    manifest reference, not rewritten (the updateByQuery economics,
+    documentsManager.js:309-330)."""
+    import hashlib
+    from pathlib import Path
+
+    from co_deduplicate_spark.sources.upsert import UpsertTable
+    from co_deduplicate_spark.streaming.incremental import run_incremental_session
+
+    wk = str(tmp_path / "merge_sessions")
+    s1_pages = spark.createDataFrame(
+        [(f"u{i}", f"document number {i} with entirely distinct vocabulary token{i}")
+         for i in range(24)],
+        "url string, text string",
+    )
+    run_incremental_session(spark, wk, s1_pages, CFG, "s1", n_buckets=8)
+    corpus_t = UpsertTable(spark, str(Path(wk) / "corpus"), key="url")
+    m1 = corpus_t._manifest()
+
+    def file_hashes(rel):
+        d = Path(corpus_t.dir) / rel
+        return {p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+                for p in sorted(d.glob("*.parquet"))}
+
+    before = {b: file_hashes(rel) for b, rel in m1["buckets"].items()}
+    s2_pages = spark.createDataFrame(
+        [("v_new", "a brand new session two page unlike anything else stored")],
+        "url string, text string",
+    )
+    run_incremental_session(spark, wk, s2_pages, CFG, "s2")
+    m2 = corpus_t._manifest()
+    untouched = [b for b in m1["buckets"] if m2["buckets"][b] == m1["buckets"][b]]
+    # 1 new url touches exactly 1 of 8 buckets; the other 7 carry forward
+    assert len(untouched) >= len(m1["buckets"]) - 1 and untouched
+    for b in untouched:
+        assert file_hashes(m2["buckets"][b]) == before[b]  # bytes untouched

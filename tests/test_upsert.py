@@ -215,6 +215,107 @@ def test_concurrent_flip_raises_not_loses(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in fresh.read().collect()} == {("a", 1), ("b", 2)}
 
 
+def test_delete_by_id_long_key(spark, tmp_path):
+    """delete_by_id must bucket its ids with the SAME expression as stored
+    rows (_bucket_expr's cast-to-string) for non-string key types — a
+    mismatched bucket silently misses the delete because the touched-bucket
+    filter prunes the real bucket away."""
+    t = UpsertTable(spark, str(tmp_path / "lk"), key="id", n_buckets=8)
+    t.create_if_not_exists(
+        spark.createDataFrame([(i, f"v{i}") for i in range(32)], "id long, val string")
+    )
+    t.delete_by_id([3, 17])
+    assert {r["id"] for r in t.read().collect()} == set(range(32)) - {3, 17}
+    assert t._manifest()["rows"] == 30
+
+
+def test_claim_version_excludes_live_and_breaks_stale(spark, tmp_path):
+    """The O_EXCL version claim closes the check-then-rename TOCTOU window:
+    a version already claimed by a LIVE local writer fails the mutation
+    before any data write; a claim left by a DEAD writer (crash between
+    claim and flip) is broken and the mutation proceeds."""
+    import json as _json
+    import os
+    import subprocess
+
+    from co_deduplicate_spark.sources.upsert import ConcurrentWriteError
+
+    t = UpsertTable(spark, str(tmp_path / "claim_tbl"), key="k", n_buckets=4)
+    t.create_if_not_exists(spark.createDataFrame([("a", 1)], "k string, v int"))
+    claim = t.dir / ".claim_v_00002"
+    claim.write_text(_json.dumps({"pid": os.getpid(), "at": 0}))  # live claimant
+    with pytest.raises(ConcurrentWriteError, match="claimed by live"):
+        t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
+    assert {r["v"] for r in t.read().collect()} == {1}  # snapshot untouched
+
+    p = subprocess.Popen(["true"])  # a pid guaranteed dead after wait()
+    p.wait()
+    claim.write_text(_json.dumps({"pid": p.pid, "at": 0}))
+    t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
+    assert {r["v"] for r in t.read().collect()} == {2}
+
+
+def test_claim_of_committed_version_raises_even_if_owner_dead(spark, tmp_path):
+    """A straggler that read a stale snapshot must never re-claim (and
+    overwrite the data dirs of) a version that is already COMMITTED — even
+    when the committing process has exited. Claim files persist after
+    commit precisely for this."""
+    import json as _json
+
+    from co_deduplicate_spark.sources.upsert import ConcurrentWriteError
+
+    t = UpsertTable(spark, str(tmp_path / "straggler"), key="k", n_buckets=4)
+    t.create_if_not_exists(spark.createDataFrame([("a", 1)], "k string, v int"))
+    t.upsert(spark.createDataFrame([("b", 2)], "k string, v int"))  # commits v2
+    # claim owner "exits": rewrite the claim with a dead pid
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    (t.dir / ".claim_v_00002").write_text(_json.dumps({"pid": p.pid, "at": 0}))
+    with pytest.raises(ConcurrentWriteError, match="already committed"):
+        t._claim_version(2)
+
+
+def test_retry_on_conflict_both_writers_land(spark, tmp_path):
+    """Two interleaved writers through retry_on_conflict: writer B commits
+    in A's claim window; A's first attempt fails with ConcurrentWriteError,
+    its retry re-reads the snapshot and re-derives, and BOTH mutations end
+    up in the table — the reference's 6×166 ms conflict-retry loop
+    (documentsManager.js:336-356) realized for the batch table."""
+    from co_deduplicate_spark.sources.upsert import retry_on_conflict
+
+    d = str(tmp_path / "rc_tbl")
+    UpsertTable(spark, d, key="k", n_buckets=4).create_if_not_exists(
+        spark.createDataFrame([("a", 1)], "k string, v int")
+    )
+    fired = {"b": False}
+    attempts = {"n": 0}
+
+    def mutate():
+        attempts["n"] += 1
+        tab = UpsertTable(spark, d, key="k")
+        cur = {r["k"]: r["v"] for r in tab.read().collect()}  # re-read snapshot
+        orig_claim = tab._claim_version
+
+        def claim_with_interposed_writer(version):
+            if not fired["b"]:  # writer B lands inside A's claim window
+                fired["b"] = True
+                UpsertTable(spark, d, key="k").upsert(
+                    spark.createDataFrame([("x", 99)], "k string, v int")
+                )
+            orig_claim(version)
+
+        tab._claim_version = claim_with_interposed_writer
+        return tab.upsert(
+            spark.createDataFrame([("a", cur["a"] + 10)], "k string, v int")
+        )
+
+    out = retry_on_conflict(mutate, times=3, delay_ms=1)
+    assert {(r["k"], r["v"]) for r in out.collect()} == {("a", 11), ("x", 99)}
+    assert fired["b"] and attempts["n"] == 2
+
+
 def test_upsert_counts_from_footers(spark, tmp_path):
     """Manifest row counts must stay exact through upsert/delete now that
     they derive from parquet footers instead of count() jobs."""
