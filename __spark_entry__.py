@@ -703,6 +703,53 @@ def q_incremental_session_merge(spark, sf_dir):
     )
 
 
+def q_pipeline_multi_engine_edges(spark, sf_dir):
+    """The pipeline's MIXED-ENGINE provenance union graded end-to-end
+    (plans/pipeline.py stage 3): documents are wrapped in deterministic
+    html boilerplate JVM-side, run through ``run_pipeline(engines=
+    ("minhash", "simhash", "window"))`` — real extraction, signatures,
+    per-engine candidates + verify, and the per-pair sorted rule union
+    (P11/A5, the batch analogue of `minimum_should_match:1` +
+    `matched_queries`, deduplicateQueryBuilder.js:56-67,
+    documentsManager.js:292-298) — and the resulting candidate_edges are
+    compared against a DuckDB mirror that unions the three engines'
+    exhaustive pair sets and sorts rules per pair. Urls are zero-padded so
+    lexicographic src<dst agrees with the oracle's numeric pairing; the
+    window engine's in-pipeline ``max_df`` cap (2000) cannot bind at the
+    graded scale (500 docs), so the uncapped oracle is exact."""
+    import shutil
+
+    from co_deduplicate_spark.plans.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    esc = lambda p: F.replace(  # noqa: E731 — html-escape &, <, > (order matters)
+        F.replace(F.replace(p, F.lit("&"), F.lit("&amp;")),
+                  F.lit("<"), F.lit("&lt;")),
+        F.lit(">"), F.lit("&gt;"))
+    paras = F.array_join(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n\n", -1),
+            lambda p: F.concat(F.lit("<p>"), esc(p), F.lit("</p>")),
+        ),
+        "",
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/d/"),
+                 F.lpad(F.col("doc_id").cast("string"), 7, "0")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-15 00:00:00")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<main>"), paras, F.lit("</main>")), "utf-8")
+        .alias("html"),
+        "lang",
+    )
+    wk = _scratch(sf_dir, "pipe_multi")
+    shutil.rmtree(wk, ignore_errors=True)
+    out = run_pipeline(spark, pages, wk, CFG,
+                       engines=("minhash", "simhash", "window"))
+    return out["candidate_edges"].select(
+        "src", "dst", F.concat_ws(",", F.col("rules")).alias("rules")
+    )
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """A1/S4: exact-dedup survivor set (min doc_id per normalized content)."""
     from co_deduplicate_spark.operators.exact import dedup_keep_first
@@ -982,16 +1029,20 @@ def q_stream_host_sessions(spark, sf_dir):
     (streaming/stateful.py::stream_host_sessions, applyInPandasWithState):
     a deterministic per-host page stream derived from `documents` — host
     h{doc_id%20}, event time base + (doc_id div 20)·60s with a 2-hour jump
-    every 5 in-host events — flows through readStream → groupBy(host) →
-    applyInPandasWithState (gap = 30 min) → memory sink (availableNow).
-    The landing dir is ONE file, so the run is a single micro-batch: every
-    burst boundary closes a session in-stream ("gap"), while each host's
-    final session stays open in the state store (the watermark delay
-    exceeds the data span, so no event-time timeout fires — timeout
-    semantics are pytest-covered in tests/test_streaming_stateful
-    instead, where wall-deterministic). Output: every CLOSED session;
-    the DuckDB mirror is gaps-and-islands SQL over the same synthesized
-    events minus each host's last (open) session."""
+    every 5 in-host events, staggered per host by (doc_id%20)·1h — flows
+    through readStream → groupBy(host) → applyInPandasWithState (gap =
+    30 min) → memory sink (availableNow). The landing dir is ONE file
+    (single data micro-batch): every burst boundary closes a session
+    in-stream ("gap"). The watermark delay is FINITE (1 h), so after the
+    data batch the watermark settles at global_max_ts − 1h and the
+    availableNow drain batch fires event-time TIMEOUTS for every host
+    whose open tail has last_ts + gap below it — with the per-host
+    stagger that is hosts 0..17 ("timeout" rows), while hosts 18-19's
+    tails stay open in state. BOTH ``closed_by`` paths are therefore
+    oracle-graded, deterministically (no wall-clock involved: event-time
+    timeout only). The DuckDB mirror is gaps-and-islands SQL over the
+    same synthesized events, with each host's last session kept iff its
+    end + gap < max(all events) − 1h, labeled 'timeout'."""
     import os
 
     from co_deduplicate_spark.streaming.stateful import stream_host_sessions
@@ -1008,12 +1059,13 @@ def q_stream_host_sessions(spark, sf_dir):
             F.lit(1704067200)
             + F.expr("doc_id div 20") * 60
             + F.expr("(doc_id div 20) div 5") * 7200
+            + (F.col("doc_id") % 20) * 3600
         ).alias("warc_ts"),
     )
     ev.repartition(1).write.mode("overwrite").parquet(landing)
     schema = spark.read.parquet(landing).schema
     sessions = stream_host_sessions(
-        spark, landing, schema, gap="30 minutes", watermark="100000 hours"
+        spark, landing, schema, gap="30 minutes", watermark="1 hour"
     )
     qname = f"host_sessions_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     ckpt = f"{scratch}/ckpt"
@@ -1060,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_window_pairs": q_suffix_window_pairs,
         "session_predicates": q_session_predicates,
         "incremental_session_merge": q_incremental_session_merge,
+        "pipeline_multi_engine_edges": q_pipeline_multi_engine_edges,
         "business_view_enriched": q_business_view_enriched,
         "dedup_keep_first": q_dedup_keep_first,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1293,6 +1346,41 @@ def oracle_sql() -> dict[str, str]:
               FROM toks WHERE len(ts) >= 30)
             SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS shared_windows
             FROM w a JOIN w b ON a.wkey = b.wkey AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        # mixed-engine provenance union: the three engines' exhaustive pair
+        # sets (shingle-Jaccard >= 0.8 for minhash-LSH-verify, Hamming <= 3
+        # over 60-bit simhashes, shared exact 30-token window), each tagged
+        # with the pipeline's rule literal, grouped per url pair with the
+        # rule list sorted — mirroring run_pipeline's collect_set+array_sort
+        "pipeline_multi_engine_edges": f"""
+            WITH {_SQL_SIMHASH},
+            u AS (
+              SELECT doc_id,
+                     'https://docs.example.org/d/' || lpad(doc_id::VARCHAR, 7, '0') AS url
+              FROM documents),
+            w AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(0, len(ts) - 29),
+                       i -> array_to_string(ts[i+1:i+30], ' ')))) AS wkey
+              FROM toks WHERE len(ts) >= 30),
+            ev AS (
+              SELECT src, dst,
+                     'minhash-lsh:k{CFG.shingle_k}p{CFG.num_perms}b{CFG.lsh_bands}' AS rule
+              FROM ({_SQL_SHINGLE_PAIRS})
+              UNION ALL
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     'simhash:hd{CFG.hamming_max}b{CFG.simhash_bits}' AS rule
+              FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= {CFG.hamming_max}
+              UNION ALL
+              SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst,
+                     'window:w{CFG.window_tokens}df{CFG.window_max_df}' AS rule
+              FROM w a JOIN w b ON a.wkey = b.wkey AND a.doc_id < b.doc_id)
+            SELECT least(ua.url, ub.url) AS src,
+                   greatest(ua.url, ub.url) AS dst,
+                   array_to_string(list_sort(list_distinct(list(rule))), ',') AS rules
+            FROM ev JOIN u ua ON ua.doc_id = ev.src JOIN u ub ON ub.doc_id = ev.dst
             GROUP BY 1, 2
         """,
         "session_predicates": f"""
@@ -1612,11 +1700,16 @@ def oracle_sql() -> dict[str, str]:
         # over the same synthesized event stream; each host's LAST session
         # never closes in-stream and is therefore excluded (the stream's
         # watermark outlives the data span, so no timeout close fires)
+        # gaps-and-islands + the watermark rule: non-last sessions close by
+        # 'gap'; each host's LAST session closes by 'timeout' iff the final
+        # watermark (global max event time - 1h delay) passed end + 30min
+        # gap, else it stays open in state and is not emitted
         "stream_host_sessions": """
             WITH ev AS (
               SELECT 'h' || (doc_id % 20) || '.example.com' AS host,
                      1704067200 + (doc_id // 20) * 60
-                                + ((doc_id // 20) // 5) * 7200 AS t
+                                + ((doc_id // 20) // 5) * 7200
+                                + (doc_id % 20) * 3600 AS t
               FROM documents),
             o AS (
               SELECT host, t,
@@ -1635,11 +1728,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT host, session_seq,
                      count(*) AS n_pages,
                      min(t) AS start_s, max(t) AS end_s
-              FROM numbered GROUP BY host, session_seq)
+              FROM numbered GROUP BY host, session_seq),
+            wm AS (SELECT max(t) - 3600 AS w FROM ev)
             SELECT host, session_seq, n_pages, start_s, end_s,
-                   'gap' AS closed_by
+                   CASE WHEN session_seq < (SELECT max(session_seq) FROM agg b
+                                            WHERE b.host = a.host)
+                        THEN 'gap' ELSE 'timeout' END AS closed_by
             FROM agg a
             WHERE session_seq < (SELECT max(session_seq) FROM agg b
                                  WHERE b.host = a.host)
+               OR end_s + 1800 < (SELECT w FROM wm)
         """,
     }

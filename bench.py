@@ -46,6 +46,7 @@ HEADLINE = [
     "suffix_window_pairs",
     "session_predicates",
     "incremental_session_merge",
+    "pipeline_multi_engine_edges",
     "business_view_enriched",
     "ann_cosine_topk",
     "ann_ivf_topk",
