@@ -194,6 +194,13 @@ class UpsertTable:
             owner = None
         alive = False
         if owner is not None:
+            if int(owner) == os.getpid():
+                # our OWN uncommitted claim (a retry after a mid-mutation
+                # failure in this process): re-claiming is safe — the
+                # version was never committed, and no other writer can hold
+                # it while the marker bears our pid
+                p.write_text(payload)
+                return
             try:
                 os.kill(int(owner), 0)
                 alive = True

@@ -231,26 +231,51 @@ def test_delete_by_id_long_key(spark, tmp_path):
 
 def test_claim_version_excludes_live_and_breaks_stale(spark, tmp_path):
     """The O_EXCL version claim closes the check-then-rename TOCTOU window:
-    a version already claimed by a LIVE local writer fails the mutation
+    a version already claimed by a LIVE foreign writer fails the mutation
     before any data write; a claim left by a DEAD writer (crash between
-    claim and flip) is broken and the mutation proceeds."""
+    claim and flip) is broken and the mutation proceeds; a claim owned by
+    the CURRENT process (a same-process retry after a mid-mutation
+    failure) is re-claimable — raising there would make retry_on_conflict
+    spin on its own stale claim forever."""
     import json as _json
-    import os
     import subprocess
+    import time as _time
 
     from co_deduplicate_spark.sources.upsert import ConcurrentWriteError
 
     t = UpsertTable(spark, str(tmp_path / "claim_tbl"), key="k", n_buckets=4)
     t.create_if_not_exists(spark.createDataFrame([("a", 1)], "k string, v int"))
     claim = t.dir / ".claim_v_00002"
-    claim.write_text(_json.dumps({"pid": os.getpid(), "at": 0}))  # live claimant
-    with pytest.raises(ConcurrentWriteError, match="claimed by live"):
-        t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
-    assert {r["v"] for r in t.read().collect()} == {1}  # snapshot untouched
+    live = subprocess.Popen(["sleep", "300"])  # a genuinely foreign live pid
+    try:
+        claim.write_text(_json.dumps({"pid": live.pid, "at": 0}))
+        with pytest.raises(ConcurrentWriteError, match="claimed by live"):
+            t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
+        assert {r["v"] for r in t.read().collect()} == {1}  # snapshot untouched
+    finally:
+        live.kill()
+        live.wait()
 
     p = subprocess.Popen(["true"])  # a pid guaranteed dead after wait()
     p.wait()
+    _time.sleep(0.05)
     claim.write_text(_json.dumps({"pid": p.pid, "at": 0}))
+    t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
+    assert {r["v"] for r in t.read().collect()} == {2}
+
+
+def test_claim_version_own_uncommitted_claim_is_reclaimable(spark, tmp_path):
+    """A mutation that fails AFTER claiming but BEFORE the flip, retried in
+    the SAME process (retry_on_conflict), must be able to re-claim its own
+    uncommitted version instead of deadlocking on it."""
+    import json as _json
+    import os
+
+    t = UpsertTable(spark, str(tmp_path / "own_claim"), key="k", n_buckets=4)
+    t.create_if_not_exists(spark.createDataFrame([("a", 1)], "k string, v int"))
+    (t.dir / ".claim_v_00002").write_text(
+        _json.dumps({"pid": os.getpid(), "at": 0})
+    )  # our own stale claim from a failed earlier attempt
     t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
     assert {r["v"] for r in t.read().collect()} == {2}
 
