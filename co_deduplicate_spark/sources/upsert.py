@@ -173,13 +173,19 @@ class UpsertTable:
         payload = json.dumps({"pid": os.getpid(), "at": time.time()})
 
         def _try_claim() -> bool:
+            # hardlink-publish so the marker APPEARS with its payload
+            # complete: an O_CREAT|O_EXCL open followed by a write has a
+            # window where a concurrent reader sees an empty claim, parses
+            # no owner, and "breaks" a live writer's claim as debris
+            tmp = self.dir / f".claim_v_{version:05d}.{os.getpid()}.tmp"
+            tmp.write_text(payload)
             try:
-                fd = os.open(str(p), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(str(tmp), str(p))  # atomic, fails if p exists
+                return True
             except FileExistsError:
                 return False
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
-            return True
+            finally:
+                tmp.unlink(missing_ok=True)
 
         if _try_claim():
             return
@@ -188,37 +194,64 @@ class UpsertTable:
                 f"version v{version} of {self.dir} is already committed; "
                 "retry against the new snapshot (concurrent writer detected)"
             )
-        try:
-            owner = json.loads(p.read_text()).get("pid")
-        except (OSError, json.JSONDecodeError, AttributeError):
-            owner = None
-        alive = False
-        if owner is not None:
-            if int(owner) == os.getpid():
-                # our OWN uncommitted claim (a retry after a mid-mutation
-                # failure in this process): re-claiming is safe — the
-                # version was never committed, and no other writer can hold
-                # it while the marker bears our pid
-                p.write_text(payload)
-                return
+
+        def _owner() -> int | None:
             try:
-                os.kill(int(owner), 0)
-                alive = True
-            except (ProcessLookupError, ValueError):
-                alive = False
+                return int(json.loads(p.read_text()).get("pid"))
+            except (OSError, json.JSONDecodeError, AttributeError, TypeError,
+                    ValueError):
+                return None
+
+        if _owner() == os.getpid():
+            # our OWN uncommitted claim (a retry after a mid-mutation
+            # failure in this process): re-claiming is safe — the version
+            # was never committed, and no other writer can hold it while
+            # the marker bears our pid. The marker is NOT rewritten: its
+            # content already identifies us, and an in-place rewrite would
+            # expose a truncated window to concurrent breakers.
+            return
+
+        def _alive(pid: int | None) -> bool:
+            if pid is None:
+                return False  # unreadable/corrupt claim = debris (a live
+                # claim is hardlink-published, never content-less)
+            try:
+                os.kill(pid, 0)
+                return True
+            except ProcessLookupError:
+                return False
             except PermissionError:
-                alive = True
-        if alive:
+                return True
+
+        owner = _owner()
+        if _alive(owner):
             raise ConcurrentWriteError(
                 f"version v{version} of {self.dir} already claimed by live "
                 f"pid {owner}; retry against the new snapshot"
             )
-        p.unlink(missing_ok=True)  # break the dead writer's claim
-        if not _try_claim():
-            raise ConcurrentWriteError(
-                f"version v{version} of {self.dir} re-claimed concurrently; "
-                "retry against the new snapshot"
-            )
+        # Break the dead writer's claim. Serialized under an exclusive
+        # flock: without it two processes can both observe the dead owner,
+        # then the second unlink destroys the FIRST breaker's fresh claim —
+        # the same lost-claim race the marker exists to prevent. Under the
+        # lock the owner is re-read: if the claim changed hands (someone
+        # else broke it first and claimed), this process loses cleanly.
+        import fcntl
+
+        with open(self.dir / ".claim_breaker_lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            cur = _owner()
+            if cur != owner and _alive(cur):
+                raise ConcurrentWriteError(
+                    f"version v{version} of {self.dir} re-claimed "
+                    f"concurrently by live pid {cur}; retry against the "
+                    "new snapshot"
+                )
+            p.unlink(missing_ok=True)
+            if not _try_claim():
+                raise ConcurrentWriteError(
+                    f"version v{version} of {self.dir} re-claimed "
+                    "concurrently; retry against the new snapshot"
+                )
 
     def _flip(self, version: int, rows: int, op: str, buckets: dict[str, str],
               schema_json: str, expected_version: int | None = None) -> None:
@@ -399,6 +432,15 @@ class UpsertTable:
         buckets) on the directory protocol; one ``DELETE FROM ... WHERE
         key IN (subquery)`` on Iceberg (ids shipped via temp view, never
         spliced into SQL text)."""
+        if isinstance(ids, DataFrame):
+            # guard a silent foot-gun: iterating a DataFrame falls back to
+            # the sequence protocol and yields its COLUMNS, so the delete
+            # would probe for ids like "Column<'id'>" and remove nothing
+            raise TypeError(
+                "delete_by_id takes a list of id values, not a DataFrame — "
+                f"collect the keys first (e.g. [r[{self.key!r}] for r in "
+                f"df.select({self.key!r}).collect()])"
+            )
         if self.iceberg_table is not None:
             view = f"_delete_ids_{abs(hash((self.iceberg_table, self.key))) % 10**8}"
             self.spark.createDataFrame(

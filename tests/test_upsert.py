@@ -280,6 +280,36 @@ def test_claim_version_own_uncommitted_claim_is_reclaimable(spark, tmp_path):
     assert {r["v"] for r in t.read().collect()} == {2}
 
 
+def test_claim_published_atomically_and_empty_claim_is_debris(spark, tmp_path):
+    """Claims are hardlink-published so a live claim is never observable
+    without its payload — which makes the converse safe: a content-less
+    claim file can only be corrupt debris (never a mid-creation live
+    writer) and is broken, the mutation proceeding. No .tmp staging file
+    may linger either way."""
+    t = UpsertTable(spark, str(tmp_path / "atomic_claim"), key="k", n_buckets=4)
+    t.create_if_not_exists(spark.createDataFrame([("a", 1)], "k string, v int"))
+    (t.dir / ".claim_v_00002").write_text("")  # corrupt/empty debris
+    t.upsert(spark.createDataFrame([("a", 2)], "k string, v int"))
+    assert {r["v"] for r in t.read().collect()} == {2}
+    # post-commit the claim marker persists WITH content (straggler guard),
+    # and no staging tmp is left behind
+    import json as _json
+
+    assert _json.loads((t.dir / ".claim_v_00002").read_text())["pid"] > 0
+    assert not list(t.dir.glob(".claim_v_*.tmp"))
+
+
+def test_delete_by_id_rejects_dataframe(spark, tmp_path):
+    """Passing a DataFrame where a list of ids is expected must raise, not
+    silently delete nothing (DataFrame iteration yields Columns via the
+    sequence protocol, so the probe ids would be 'Column<...>' strings)."""
+    t = UpsertTable(spark, str(tmp_path / "df_guard"), key="k", n_buckets=4)
+    t.create_if_not_exists(spark.createDataFrame([("a", 1)], "k string, v int"))
+    with pytest.raises(TypeError, match="list of id values"):
+        t.delete_by_id(spark.createDataFrame([("a",)], "k string"))
+    assert t.read().count() == 1
+
+
 def test_claim_of_committed_version_raises_even_if_owner_dead(spark, tmp_path):
     """A straggler that read a stale snapshot must never re-claim (and
     overwrite the data dirs of) a version that is already COMMITTED — even
