@@ -103,6 +103,16 @@ def incremental_update(
     excluded by the kernel version tag in DedupConfig.config_hash, checked
     by run_incremental_session's pointer gate).
     """
+    if old_bands is not None and old_signatures is None:
+        # a stored band table without its signature table would DOUBLE old
+        # docs' band rows (kept + recomputed-as-delta): every old url is in
+        # the recompute delta when signatures are absent, so the only
+        # consistent reading of this mix is "no reusable state"
+        raise ValueError(
+            "old_bands requires old_signatures: without stored signatures "
+            "every url is re-signed (and re-banded) as delta, so the stored "
+            "band table cannot be reused consistently"
+        )
     # newest-wins on url collision (the reference's update-by-id semantics:
     # a re-crawl replaces the stored doc) — the old row is anti-joined away
     # BEFORE the union, so the surviving row is deterministic, not

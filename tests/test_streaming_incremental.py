@@ -508,6 +508,26 @@ def test_untouched_old_edges_ride_through_verbatim(spark):
     assert ("a1", "a3") in touched or ("a2", "a3") in touched
 
 
+def test_incremental_old_bands_require_old_signatures(spark):
+    """Band-table reuse without signature reuse would double every old
+    doc's band rows (kept + recomputed-as-delta) — the mix is rejected."""
+    import pytest as _pytest
+
+    from co_deduplicate_spark.streaming.incremental import incremental_update
+
+    empty_pages = spark.createDataFrame([], "url string, text string")
+    empty_edges = spark.createDataFrame(
+        [], "src string, dst string, rules array<string>, session string"
+    )
+    empty_labels = spark.createDataFrame([], "node string, component string")
+    bands = spark.createDataFrame([], "doc string, band_id int, band_hash long")
+    with _pytest.raises(ValueError, match="old_bands requires old_signatures"):
+        incremental_update(
+            empty_pages, empty_edges, empty_labels, empty_pages, CFG, "s1",
+            old_signatures=None, old_bands=bands,
+        )
+
+
 def test_session_config_change_gate(spark, tmp_path):
     """A config/kernel-generation change must never silently mix stored
     signatures with new-generation delta signatures: the pointer gate
