@@ -425,3 +425,102 @@ def run_incremental_session(
         "bands": explode_nested_bands(bands_t.read()),
         "affected_components": out["affected_components"],
     }
+
+
+def do_the_job(
+    spark,
+    workdir: str,
+    url: str,
+    text: str | None,
+    cfg: DedupConfig,
+    session_name: str | None = None,
+    n_buckets: int = 32,
+) -> dict:
+    """The reference's single public API, ``doTheJob(docObject, cb)``
+    (/root/reference/index.js:9-24; README.md:87 — one invocation per
+    arriving record), as a one-row delta session over the persistent
+    state in ``workdir``.
+
+    Lifecycle parity:
+      * validate (index.js:34-41): empty/None ``url`` is a hard error;
+      * plan + execute: the record is signed, banded, and probed against
+        the STORED band table (O(1 + affected) — the batch analogue of
+        the reference's per-clause Lucene lookups,
+        deduplicateQueryBuilder.js:75-107);
+      * short-circuit (index.js:45-49): a record that yields no signature
+        (empty/too-short text) gets ``is_deduplicable=False`` but the
+        graph update STILL runs — it is labeled (singleton or into its
+        surviving cluster) exactly like the reference strips a
+        non-deduplicable record out of stale clusters;
+      * cluster maintenance (documentsManager.js:220-334): the shared
+        ``incremental_update`` merge/evict/relabel semantics.
+
+    Returns a small dict (the batch analogue of the enriched docObject):
+    ``url``, ``session``, ``is_deduplicable``, ``duplicates`` — list of
+    ``{"url", "rules", "session"}`` sorted by url (rules = the
+    ``matched_queries`` provenance analogue) — ``component``, and
+    ``cluster_members`` (sorted urls sharing the component, self
+    included). Values are collected: every result is bounded by the
+    record's own cluster size.
+
+    Scale note: the result extraction scans the edges/labels tables
+    (they are keyed for MERGE, not indexed by endpoint); per-call read
+    cost is one distributed scan of each — fine for moderate state or
+    an Iceberg-backed table with endpoint bucketing, but a high-QPS
+    online service should batch arrivals into ``run_incremental_session``
+    calls instead (the reference's economics differ because Elasticsearch
+    maintains inverted indexes per field).
+
+    Deterministic and idempotent: the default session stamp derives from
+    the url, so replaying the same record converges to identical state
+    (the crash contract of ``run_incremental_session``).
+    """
+    import hashlib
+
+    if not url:
+        raise ValueError(
+            "doTheJob requires a non-empty record id (the reference hard-"
+            "fails on missing technical.internalId, index.js:34-41)"
+        )
+    session = session_name or f"job-{hashlib.sha256(url.encode()).hexdigest()[:12]}"
+    pages = spark.createDataFrame([(url, text)], "url string, text string")
+    out = run_incremental_session(
+        spark, workdir, pages, cfg, session, n_buckets=n_buckets
+    )
+
+    sig = (
+        out["signatures"].filter(F.col("doc") == url).select("minhash").collect()
+    )
+    is_deduplicable = bool(sig) and sig[0]["minhash"] is not None
+
+    dup_rows = (
+        out["edges"]
+        .filter((F.col("src") == url) | (F.col("dst") == url))
+        .select(
+            F.when(F.col("src") == url, F.col("dst")).otherwise(F.col("src")).alias("url"),
+            "rules", "session",
+        )
+        .collect()
+    )
+    duplicates = sorted(
+        ({"url": r["url"], "rules": list(r["rules"]), "session": r["session"]}
+         for r in dup_rows),
+        key=lambda d: d["url"],
+    )
+
+    lbl = out["labels"].filter(F.col("node") == url).select("component").collect()
+    component = lbl[0]["component"] if lbl else None
+    members = []
+    if component is not None:
+        members = sorted(
+            r["node"]
+            for r in out["labels"].filter(F.col("component") == component).collect()
+        )
+    return {
+        "url": url,
+        "session": session,
+        "is_deduplicable": is_deduplicable,
+        "duplicates": duplicates,
+        "component": component,
+        "cluster_members": members,
+    }

@@ -528,6 +528,40 @@ def test_incremental_old_bands_require_old_signatures(spark):
         )
 
 
+def test_do_the_job_single_record_lifecycle(spark, tmp_path):
+    """The reference's doTheJob parity (index.js:9-24): record-at-a-time
+    arrivals against persistent state — validation hard-error, dedup
+    short-circuit that still labels, duplicate discovery with rule
+    provenance, cluster membership, and idempotent replay."""
+    import pytest as _pytest
+
+    from co_deduplicate_spark.streaming.incremental import do_the_job
+
+    wk = str(tmp_path / "dtj")
+    with _pytest.raises(ValueError, match="non-empty record id"):
+        do_the_job(spark, wk, "", "text", CFG)
+
+    r1 = do_the_job(spark, wk, "a1", DUP_TEXT, CFG)
+    assert r1["is_deduplicable"] and r1["duplicates"] == []
+    assert r1["cluster_members"] == ["a1"]  # singleton until a match arrives
+
+    r2 = do_the_job(spark, wk, "a2", DUP_TEXT, CFG)
+    assert [d["url"] for d in r2["duplicates"]] == ["a1"]
+    assert r2["duplicates"][0]["rules"] == [f"minhash-lsh:k{CFG.shingle_k}"]
+    assert r2["cluster_members"] == ["a1", "a2"]
+
+    # short-circuit: token-less text (punct-only → NULL signature) is not
+    # deduplicable but IS labeled — the reference's isDeduplicable=false
+    # path still runs the graph update (index.js:45-49)
+    r3 = do_the_job(spark, wk, "tiny", "?!...", CFG)
+    assert not r3["is_deduplicable"]
+    assert r3["duplicates"] == [] and r3["cluster_members"] == ["tiny"]
+
+    # idempotent replay: same record, same derived session stamp
+    r2b = do_the_job(spark, wk, "a2", DUP_TEXT, CFG)
+    assert r2b == r2
+
+
 def test_session_config_change_gate(spark, tmp_path):
     """A config/kernel-generation change must never silently mix stored
     signatures with new-generation delta signatures: the pointer gate
