@@ -750,6 +750,42 @@ def q_pipeline_multi_engine_edges(spark, sf_dir):
     )
 
 
+def q_do_the_job_arrival(spark, sf_dir):
+    """The ONLINE record-at-a-time path (streaming/incremental.py
+    do_the_job ≙ the reference's single public API doTheJob,
+    /root/reference/index.js:9-24) oracle-graded end-to-end: dedup state
+    is bootstrapped from `documents` via run_incremental_session (urls
+    'u<doc_id>'), then ONE record arrives through do_the_job carrying doc
+    45's exact text. Its reported duplicates — discovered on the delta
+    path: stored band table probed by a broadcast of the single record's
+    bands — must equal doc 45 itself (J = 1) plus every doc whose
+    shingle-Jaccard with doc 45 meets the threshold, each stamped with
+    the minhash-lsh rule (the matched_queries provenance analogue).
+    DuckDB mirrors with the exhaustive pair set restricted to the probe
+    doc. Probe = doc 45: it has planted near-dup partners at the graded
+    scales (487 at sf0.001; 267 and 413 at sf0.01), so the row is
+    non-vacuous where values are hash-compared."""
+    import shutil
+
+    from co_deduplicate_spark.streaming.incremental import do_the_job, run_incremental_session
+
+    wk = _scratch(sf_dir, "dtj_arrival")
+    shutil.rmtree(wk, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"), "text"
+    )
+    run_incremental_session(spark, wk, docs, CFG, "s0")
+    probe_text = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") == 45)
+        .select("text").collect()[0]["text"]
+    )
+    r = do_the_job(spark, wk, "arrival-q", probe_text, CFG, session_name="s1")
+    return spark.createDataFrame(
+        [(d["url"], ",".join(d["rules"])) for d in r["duplicates"]],
+        "dup_url string, rules string",
+    )
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """A1/S4: exact-dedup survivor set (min doc_id per normalized content)."""
     from co_deduplicate_spark.operators.exact import dedup_keep_first
@@ -1113,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_predicates": q_session_predicates,
         "incremental_session_merge": q_incremental_session_merge,
         "pipeline_multi_engine_edges": q_pipeline_multi_engine_edges,
+        "do_the_job_arrival": q_do_the_job_arrival,
         "business_view_enriched": q_business_view_enriched,
         "dedup_keep_first": q_dedup_keep_first,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1447,6 +1484,20 @@ def oracle_sql() -> dict[str, str]:
         # deterministic two-session fixture (see q_incremental_session_merge):
         # old CC over ALL s0 edges, merge, session-evidence filter (rules or
         # current session), scoped re-CC, untouched components carried over
+        # the online arrival carries doc 45's exact text: its duplicates are
+        # doc 45 itself (J = 1) plus the exhaustive shingle-Jaccard matches
+        # of doc 45, all under the minhash-lsh rule stamp
+        "do_the_job_arrival": f"""
+            WITH pairs AS ({_SQL_SHINGLE_PAIRS})
+            SELECT 'u' || dst::VARCHAR AS dup_url,
+                   'minhash-lsh:k{CFG.shingle_k}' AS rules
+            FROM pairs WHERE src = 45
+            UNION ALL
+            SELECT 'u' || src::VARCHAR, 'minhash-lsh:k{CFG.shingle_k}'
+            FROM pairs WHERE dst = 45
+            UNION ALL
+            SELECT 'u45', 'minhash-lsh:k{CFG.shingle_k}'
+        """,
         "incremental_session_merge": f"""
             WITH RECURSIVE pairs AS ({_SQL_SHINGLE_PAIRS}),
             anchors AS (

@@ -33,6 +33,10 @@ import time
 # headline queries run at sf0.1; token_jaccard_pairs (unigram, exhaustive)
 # is deliberately excluded — its postings self-join is quadratic in the
 # tiny synthetic vocabulary and exists for the sf0.01 correctness gate only.
+# do_the_job_arrival is likewise correctness-only: its wall is ~95%
+# bootstrap fixture (a full stateful session build: five keyed tables
+# merged, CC, manifests) wrapped around a single-record arrival — the
+# arrival path it grades is already timed inside incremental_session_merge.
 HEADLINE = [
     "minhash_lsh_pairs",
     "shingle_jaccard_pairs",

@@ -190,9 +190,13 @@ def test_pipeline_survives_sigkill_mid_run(spark, tmp_path):
         cwd=str(repo), stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
-    # let it get through extraction and INTO the heavy stages, then kill hard
+    # let it get through extraction and INTO the heavy stages, then kill
+    # hard. Generous deadline: this VM's documented slow phases run 2-3x,
+    # and a loaded machine once pushed the first manifest past the
+    # previous 120 s window — killing a healthy-but-slow run then trips
+    # the died-at-startup guard below (rc=-9, no manifest) spuriously.
     manifest_seen = False
-    deadline = _time.monotonic() + 120
+    deadline = _time.monotonic() + 600
     while _time.monotonic() < deadline:
         if (Path(wk_killed) / "corpus" / "_STAGE_MANIFEST.json").exists():
             manifest_seen = True
