@@ -435,6 +435,7 @@ def do_the_job(
     cfg: DedupConfig,
     session_name: str | None = None,
     n_buckets: int = 32,
+    max_hits: int = 1000,
 ) -> dict:
     """The reference's single public API, ``doTheJob(docObject, cb)``
     (/root/reference/index.js:9-24; README.md:87 — one invocation per
@@ -458,10 +459,15 @@ def do_the_job(
     Returns a small dict (the batch analogue of the enriched docObject):
     ``url``, ``session``, ``is_deduplicable``, ``duplicates`` — list of
     ``{"url", "rules", "session"}`` sorted by url (rules = the
-    ``matched_queries`` provenance analogue) — ``component``, and
+    ``matched_queries`` provenance analogue) — ``component``,
     ``cluster_members`` (sorted urls sharing the component, self
-    included). Values are collected: every result is bounded by the
-    record's own cluster size.
+    included), and ``truncated`` (True when either list was cut at
+    ``max_hits``). ``max_hits`` is the P12 analogue of the reference's
+    ``size: 1000`` search cap (index.js:53-57; getBaseRequest.js) — a
+    mega-cluster hub record otherwise collects its whole component to
+    the driver. Truncation keeps the lexicographically-first urls
+    (deterministic), and NEVER affects the persisted state — only this
+    returned summary.
 
     Scale note: the result extraction scans the edges/labels tables
     (they are keyed for MERGE, not indexed by endpoint); per-call read
@@ -500,22 +506,26 @@ def do_the_job(
             F.when(F.col("src") == url, F.col("dst")).otherwise(F.col("src")).alias("url"),
             "rules", "session",
         )
+        .orderBy("url")
+        .limit(max_hits + 1)
         .collect()
     )
-    duplicates = sorted(
-        ({"url": r["url"], "rules": list(r["rules"]), "session": r["session"]}
-         for r in dup_rows),
-        key=lambda d: d["url"],
-    )
+    truncated = len(dup_rows) > max_hits
+    duplicates = [
+        {"url": r["url"], "rules": list(r["rules"]), "session": r["session"]}
+        for r in dup_rows[:max_hits]
+    ]
 
     lbl = out["labels"].filter(F.col("node") == url).select("component").collect()
     component = lbl[0]["component"] if lbl else None
     members = []
     if component is not None:
-        members = sorted(
-            r["node"]
-            for r in out["labels"].filter(F.col("component") == component).collect()
+        member_rows = (
+            out["labels"].filter(F.col("component") == component)
+            .select("node").orderBy("node").limit(max_hits + 1).collect()
         )
+        truncated = truncated or len(member_rows) > max_hits
+        members = [r["node"] for r in member_rows[:max_hits]]
     return {
         "url": url,
         "session": session,
@@ -523,4 +533,5 @@ def do_the_job(
         "duplicates": duplicates,
         "component": component,
         "cluster_members": members,
+        "truncated": truncated,
     }

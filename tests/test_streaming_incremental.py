@@ -560,6 +560,19 @@ def test_do_the_job_single_record_lifecycle(spark, tmp_path):
     # idempotent replay: same record, same derived session stamp
     r2b = do_the_job(spark, wk, "a2", DUP_TEXT, CFG)
     assert r2b == r2
+    assert not r2["truncated"]
+
+    # P12 cap (the reference's size:1000): summary lists truncate at
+    # max_hits, lexicographically-first kept, persisted state untouched
+    r4 = do_the_job(spark, wk, "a3", DUP_TEXT, CFG, max_hits=1)
+    assert r4["truncated"]
+    assert r4["duplicates"] == [
+        {"url": "a1", "rules": [f"minhash-lsh:k{CFG.shingle_k}"],
+         "session": r4["session"]}
+    ]
+    assert r4["cluster_members"] == ["a1"]
+    r5 = do_the_job(spark, wk, "a3", DUP_TEXT, CFG)  # uncapped re-read
+    assert r5["cluster_members"] == ["a1", "a2", "a3"] and not r5["truncated"]
 
 
 def test_session_config_change_gate(spark, tmp_path):
