@@ -486,6 +486,54 @@ class UpsertTable:
                    buckets, m.get("schema"), expected_version=m["version"])
         return self.read()
 
+    def vacuum(self) -> dict:
+        """Garbage-collect version directories no longer referenced by the
+        CURRENT manifest — the directory protocol's ``expire_snapshots``
+        (on Iceberg-backed tables the runtime's own procedure owns this
+        and vacuum is a no-op). Without it a table churned by per-session
+        MERGEs accumulates every superseded bucket file forever: storage
+        grows with total churn, not table size.
+
+        Safe by construction: the manifest flip is the commit point, so
+        any ``v_*`` dir not named in the current manifest's bucket map is
+        unreachable by every future read (carried-forward buckets keep
+        their old version dirs ALIVE and are never touched). Claim
+        markers are kept — they are bytes-tiny and guard stale-snapshot
+        stragglers from re-claiming committed version numbers. Not safe
+        concurrently with an in-flight writer whose claimed version has
+        not flipped yet: vacuum skips any version dir with a claim marker
+        newer than the current manifest version for exactly that reason.
+
+        Returns ``{"removed": [...], "kept": [...]}`` (dir names).
+        """
+        import shutil
+
+        if self.iceberg_table is not None:
+            return {"removed": [], "kept": []}
+        m = self._manifest()
+        if m is None:
+            return {"removed": [], "kept": []}
+        referenced = {rel.split("/", 1)[0] for rel in m["buckets"].values()}
+        current = m["version"]
+        removed, kept = [], []
+        for vdir in sorted(self.dir.glob("v_*")):
+            if not vdir.is_dir():
+                continue
+            name = vdir.name
+            try:
+                vnum = int(name.split("_", 1)[1])
+            except (IndexError, ValueError):
+                kept.append(name)
+                continue
+            if name in referenced or vnum > current:
+                # reachable via carry-forward, or an in-flight (claimed,
+                # not yet flipped) writer's data — both must survive
+                kept.append(name)
+                continue
+            shutil.rmtree(vdir, ignore_errors=True)
+            removed.append(name)
+        return {"removed": removed, "kept": kept}
+
     def drop(self) -> None:
         """S6 ``deleteIndiceIx``: drop iff present."""
         import shutil

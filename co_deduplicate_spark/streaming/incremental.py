@@ -397,6 +397,11 @@ def run_incremental_session(
     edges_t.upsert(
         out["touched_edges"].withColumn("pair", F.concat_ws("\x1f", "src", "dst"))
     )
+    # expire superseded version dirs (sessions are single-writer, so no
+    # in-flight claims to respect beyond vacuum's own guard) — without
+    # this, state storage grows with total churn instead of corpus size
+    for t in (corpus_t, sigs_t, bands_t, labels_t, edges_t):
+        t.vacuum()
 
     lineage = {
         "stage": f"session__{session_name}",

@@ -299,6 +299,37 @@ def test_claim_published_atomically_and_empty_claim_is_debris(spark, tmp_path):
     assert not list(t.dir.glob(".claim_v_*.tmp"))
 
 
+def test_vacuum_removes_only_unreferenced_versions(spark, tmp_path):
+    """vacuum (the directory protocol's expire_snapshots) removes version
+    dirs the current manifest no longer references, keeps carried-forward
+    dirs alive, keeps in-flight (claimed > current) dirs, and the table
+    reads identically afterwards."""
+    import json as _json
+
+    t = UpsertTable(spark, str(tmp_path / "vac"), key="k", n_buckets=4)
+    t.create_if_not_exists(
+        spark.createDataFrame([(f"k{i}", i) for i in range(8)], "k string, v int")
+    )
+    # touch a SUBSET of buckets twice so v1 stays partially referenced
+    t.upsert(spark.createDataFrame([("k0", 100)], "k string, v int"))   # v2
+    t.upsert(spark.createDataFrame([("k0", 200)], "k string, v int"))   # v3
+    m = t._manifest()
+    refd = {rel.split("/", 1)[0] for rel in m["buckets"].values()}
+    assert "v_00001" in refd and "v_00002" not in refd  # carry-forward + a dead dir
+    # an in-flight writer's claimed-but-unflipped version dir must survive
+    (t.dir / "v_00009").mkdir()
+    (t.dir / ".claim_v_00009").write_text(_json.dumps({"pid": 1, "at": 0}))
+    before = sorted((r["k"], r["v"]) for r in t.read().collect())
+
+    out = t.vacuum()
+    assert "v_00002" in out["removed"]
+    assert "v_00001" in out["kept"] and "v_00009" in out["kept"]
+    assert not (t.dir / "v_00002").exists() and (t.dir / "v_00009").exists()
+    assert (t.dir / ".claim_v_00002").exists()  # straggler guard survives
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == before
+    assert t.vacuum()["removed"] == []  # idempotent
+
+
 def test_delete_by_id_rejects_dataframe(spark, tmp_path):
     """Passing a DataFrame where a list of ids is expected must raise, not
     silently delete nothing (DataFrame iteration yields Columns via the
