@@ -497,12 +497,16 @@ class UpsertTable:
         Safe by construction: the manifest flip is the commit point, so
         any ``v_*`` dir not named in the current manifest's bucket map is
         unreachable by every future read (carried-forward buckets keep
-        their old version dirs ALIVE and are never touched). Claim
-        markers are kept — they are bytes-tiny and guard stale-snapshot
-        stragglers from re-claiming committed version numbers. Not safe
-        concurrently with an in-flight writer whose claimed version has
-        not flipped yet: vacuum skips any version dir with a claim marker
-        newer than the current manifest version for exactly that reason.
+        their old version dirs ALIVE and are never touched). An in-flight
+        writer's data survives because claims always target versions
+        ABOVE the committed one — every dir with ``vnum > current`` is
+        kept unconditionally. Claim markers are kept too — bytes-tiny,
+        and they guard stale-snapshot stragglers from re-claiming
+        committed version numbers. As with any snapshot expiry (Iceberg's
+        ``expire_snapshots`` has the same hazard), a concurrent READER
+        that captured an older manifest may lose files mid-scan; callers
+        coordinate retention (the session driver vacuums only its own
+        single-writer tables at commit time).
 
         Returns ``{"removed": [...], "kept": [...]}`` (dir names).
         """
