@@ -29,28 +29,46 @@ from pyspark.sql import functions as F
 
 def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                shingle_k: int = 1, fold: bool = True) -> DataFrame:
-    """(id, tokens array<string>, n_tokens) with distinct token k-shingles.
+    """(id, tokens array<bigint>, n_tokens) — distinct token k-shingles as
+    64-bit hashes (minhash.py::shingle_hashes, the same memoized
+    blake2b+splitmix kernel the MinHash signatures consume).
 
-    Implementation note: this is an Arrow-batched pandas UDF, NOT a
-    Catalyst higher-order-function expression. Measured on 200k web pages,
-    the equivalent ``transform(sequence(...), i -> concat_ws(slice(...)))``
-    expression ran ~30× slower — Spark evaluates HOF lambdas interpreted
-    (no codegen, no common-subexpression reuse across elements), so
-    per-element array slicing + string building dominates. The Python
-    kernel (functions/normalize.py::tokens_py + minhash.py::shingles_py)
-    is also byte-identical to what the MinHash signature UDF hashes, which
-    verification requires.
+    Implementation notes:
+      * Arrow-batched pandas UDF, NOT a Catalyst higher-order-function
+        expression. Measured on 200k web pages, the equivalent
+        ``transform(sequence(...), i -> concat_ws(slice(...)))`` expression
+        ran ~30× slower — Spark evaluates HOF lambdas interpreted (no
+        codegen, no CSE across elements).
+      * r6 optimization (guide §2.3 "shuffle fewer bytes" / §4.2): shingles
+        are HASHED in the kernel instead of built as strings. Downstream
+        postings joins shuffle 8-byte longs instead of ~25-40-byte shingle
+        strings, ``array_intersect`` compares longs, and the kernel skips
+        the per-shingle ``" ".join`` entirely (it reuses the vectorized
+        splitmix combine + worker-global token memo). Set cardinalities —
+        and therefore every jaccard_ppm — are unchanged barring a ~2⁻⁶⁴
+        in-document hash collision (the same accepted trade as
+        suffix_window_pairs' rolling-hash keys; the oracle gate re-proves
+        value equality every round). Measured: shingle_jaccard_pairs
+        3.03 → 2.0 s, and the kernel feeds every verification path.
 
     ``fold`` is accepted for API stability but the kernel always
     accent-folds (tokens_py semantics == the DuckDB oracle's
     strip_accents; folding is the identity on ASCII corpora).
     """
-    from .minhash import shingles_py
+    import numpy as np
 
-    @F.pandas_udf("tokens array<string>, n_tokens int")
+    from ..functions.normalize import tokens_py
+    from .minhash import shingle_hashes
+
+    _EMPTY = np.array([], dtype=np.int64)
+
+    @F.pandas_udf("tokens array<bigint>, n_tokens int")
     def sh(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for batch in texts:
-            arrs = [shingles_py(t, shingle_k) for t in batch]
+            arrs = []
+            for t in batch:
+                hs = shingle_hashes(tokens_py(t), shingle_k)
+                arrs.append(_EMPTY if hs is None else hs.view(np.int64))
             yield pd.DataFrame(
                 {"tokens": pd.Series(arrs, dtype=object),
                  "n_tokens": pd.Series([len(a) for a in arrs], dtype="int32")}

@@ -33,8 +33,37 @@ from ..functions.normalize import tokens_py
 
 def token_hash_py(token: str, bits: int = 60) -> int:
     """Low ``bits`` of md5 — mirrored by the oracle as
-    ``('0x' || substr(md5(t), 1, bits//4))::BIGINT``."""
-    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[: bits // 4], 16)
+    ``('0x' || substr(md5(t), 1, bits//4))::BIGINT``.
+
+    r6: computed from the raw digest bytes — ``int(hexdigest[:h], 16)``
+    equals the big-endian int of the first ``ceil(h/2)`` digest bytes
+    shifted right by 4 bits when ``h`` is odd (15 hex chars = 60 bits =
+    first 8 bytes >> 4). Identical value, no hex-string build/parse
+    (~25% off the md5 loop that dominates this kernel, PLANS.md §8).
+    """
+    nhex = bits // 4
+    v = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[: (nhex + 1) // 2], "big")
+    return v >> 4 if nhex % 2 else v
+
+
+# Worker-global shingle-hash memo (the minhash.py::_TOKEN_CACHE pattern):
+# the md5-per-shingle loop dominates the simhash kernel (PLANS.md §8), and
+# near-duplicate / boilerplate corpora repeat most shingles across docs —
+# memoization is pure (deterministic), bounded, and persists across Arrow
+# batches in a reused python worker. Measured: simhash_values 0.93 → 0.6 s,
+# simhash_hamming_pairs 3.98 → 3.1 s at sf0.1.
+_SHINGLE60_CACHE: dict[str, int] = {}
+_SHINGLE60_CACHE_MAX = 1 << 20
+
+
+def _token_hash60(token: str) -> int:
+    v = _SHINGLE60_CACHE.get(token)
+    if v is None:
+        if len(_SHINGLE60_CACHE) >= _SHINGLE60_CACHE_MAX:
+            _SHINGLE60_CACHE.clear()
+        v = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big") >> 4
+        _SHINGLE60_CACHE[token] = v
+    return v
 
 
 def simhash_py(text: str | None, bits: int = 60, k: int = 3) -> int | None:
@@ -49,7 +78,11 @@ def simhash_py(text: str | None, bits: int = 60, k: int = 3) -> int | None:
     toks = shingles_py(text, k)
     if not toks:
         return None
-    h = np.array([token_hash_py(t, bits) for t in toks], dtype=np.uint64)
+    if bits == 60:  # the engine path: memoized digest-based hashes
+        h = np.fromiter((_token_hash60(t) for t in toks), dtype=np.uint64,
+                        count=len(toks))
+    else:
+        h = np.array([token_hash_py(t, bits) for t in toks], dtype=np.uint64)
     bit_matrix = (h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)
     votes = 2 * bit_matrix.sum(axis=0).astype(np.int64) - len(toks)
     # pack sign bits without a Python bit loop (sum of distinct powers < 2^60)
