@@ -529,7 +529,7 @@ def q_containment_pairs(spark, sf_dir):
     """Engine 3: full-document token-sequence containment."""
     return containment_pairs(
         _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
-        min_tokens=CFG.substring_min_tokens, shingle_k=3,
+        min_tokens=CFG.substring_min_tokens, shingle_k=3, fold=ASCII_FOLD,
     )
 
 
@@ -686,16 +686,24 @@ def q_incremental_session_merge(spark, sf_dir):
             )
         )
     )
+    # r6 (guide §5): the fixture's "previous-session state" (edges, labels,
+    # signatures) is handed to incremental_update as live plans; its
+    # consumers reference each 2-4× (semi/anti splits, both band-join
+    # sides), which re-executed the exhaustive jaccard fixture and the old
+    # MinHash kernel per consumer. In production these are stored-table
+    # scans — materialize once to match (within-query localCheckpoint, no
+    # cross-run state). Measured: 13.2 → 7.5 s at sf0.1; executed plans show
+    # the update reading ExistingRDD state, as on the production path.
     old_edges = (
         old_pairs.select("src", "dst", F.array(F.lit("seed-rule")).alias("rules"))
         .unionByName(planted)
         .withColumn("session", F.lit("s0"))
-    )
+    ).localCheckpoint()
     old_labels = attach_singletons(
         connected_components(old_edges.select("src", "dst"), cfg=CFG),
         old.select(F.col("url").alias("node")), "node",
-    )
-    old_sigs = with_minhash(old, CFG, id_col="url", text_col="text")
+    ).localCheckpoint()
+    old_sigs = with_minhash(old, CFG, id_col="url", text_col="text").localCheckpoint()
     out = incremental_update(old, old_edges, old_labels, new, CFG,
                              current_session="s1", old_signatures=old_sigs)
     return out["labels"].select(
@@ -1033,8 +1041,13 @@ def q_stream_dedup_keys(spark, sf_dir):
 
     scratch = _scratch(sf_dir, "co_dedup_stream")
     landing = f"{scratch}/landing"
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "warc_ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 60)
+    # r6 (guide §6): land only the columns the stream consumes (fp derives
+    # from text; warc_ts drives the watermark) — the previous landing wrote
+    # every document column, doubling the fixture's write+scan bytes.
+    # Output (distinct fp set) is unchanged.
+    docs = _t(spark, sf_dir, "documents").select(
+        "text",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 60).alias("warc_ts"),
     )
     docs.write.mode("overwrite").parquet(landing)
     schema = spark.read.parquet(landing).schema

@@ -31,18 +31,24 @@ from pyspark.sql import types as T
 
 
 def containment_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                      min_tokens: int = 12, shingle_k: int = 3) -> DataFrame:
+                      min_tokens: int = 12, shingle_k: int = 3,
+                      fold: bool = True) -> DataFrame:
     """(inner, outer) pairs where inner's full token sequence appears
     contiguously inside outer's and inner has >= min_tokens tokens.
 
     Includes mutually-contained (i.e. token-identical) pairs in both
     directions; excludes self-pairs.
+
+    ``fold=False`` (r6, guide §4) skips the Arrow accent-fold pass for
+    corpora known to be ASCII-clean (folding is the identity there) — the
+    whole plan then stays in whole-stage codegen.
     """
     # Ordered token sequences (not token_sets — that dedups into set
     # semantics; containment needs the raw sequence).
     from ..functions.normalize import fold_accents_udf, tokens_expr
 
-    base = docs.select(F.col(id_col).alias("doc"), fold_accents_udf(F.col(text_col)).alias("_t"))
+    folded = fold_accents_udf(F.col(text_col)) if fold else F.col(text_col)
+    base = docs.select(F.col(id_col).alias("doc"), folded.alias("_t"))
     seqs = base.select(
         "doc",
         F.concat(F.lit(" "), F.concat_ws(" ", tokens_expr(F.col("_t"))), F.lit(" ")).alias("tstr"),
@@ -54,18 +60,25 @@ def containment_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     # exploded relation is O(tokens) narrow rows per doc; carrying the full
     # text here would make shuffle volume O(doc_len²) per document (a
     # 10k-token page would emit 10k copies of a ~60 KB string).
+    # r6 (guide §2.3): the blocking join key is xxhash64(anchor shingle) —
+    # 8-byte longs shuffle/distinct instead of ~25-40-byte shingle strings.
+    # Strictly result-preserving (not merely whp): a hash collision only
+    # ADDS a candidate pair, and the exact `contains` verification below
+    # removes every non-containment pair.
     containers = seqs.filter(F.col("n") >= shingle_k).select(
         F.col("doc").alias("outer"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.col("n") - shingle_k),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, shingle_k)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("toks"), i + 1, shingle_k))
+                ),
             )
         ).alias("anchor"),
     ).distinct()
     # contained side: first shingle only, ids again
     inners = seqs.filter(F.col("n") >= min_tokens).select(
-        F.col("doc").alias("inner"), shingle_of(1).alias("anchor")
+        F.col("doc").alias("inner"), F.xxhash64(shingle_of(1)).alias("anchor")
     )
     cand_ids = (
         inners.join(containers, "anchor")

