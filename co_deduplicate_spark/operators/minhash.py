@@ -180,7 +180,13 @@ def with_minhash(docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id",
     narrow = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
     if repartition is not None:
         n = repartition or docs.sparkSession.sparkContext.defaultParallelism
-        narrow = narrow.repartition(n, "doc")
+        # r6 (guide §2.4): only shuffle when the input is UNDER-parallel
+        # (e.g. a single local parquet file). A 100 TB scan already arrives
+        # in thousands of splits — the unconditional repartition was a full
+        # (id, text) exchange for nothing; signatures are per-row
+        # deterministic, so partitioning never affects values.
+        if narrow.rdd.getNumPartitions() < n:
+            narrow = narrow.repartition(n, "doc")
     sig = minhash_signature_udf(cfg)
     return narrow.select("doc", sig(F.col("_text")).alias("_s")).select(
         "doc", F.col("_s.minhash").alias("minhash"), F.col("_s.n_shingles").alias("n_shingles")

@@ -366,15 +366,32 @@ def run_pipeline(
         for e in per_engine[1:]:
             union = union.unionByName(e)
         # P11/A5: per-pair sorted rule union (documentsManager.js:292-298);
-        # score = best evidence across engines
-        edges = (
-            union.groupBy("src", "dst")
-            .agg(
-                F.array_sort(F.collect_set("rule")).alias("rules"),
-                F.max("score").alias("score"),
+        # score = best evidence across engines. r6 (guide §2.4): when ONE
+        # engine ran AND its output is pair-unique by construction
+        # (minhash: distinct candidates verified 1:1; window: per-pair
+        # groupBy; ann: distinct pairs), the groupBy is the identity — a
+        # single-element collect_set IS array(rule) — so the flagship
+        # single-engine pipeline skips a full shuffle of the edge set.
+        # ("rules" emits one row per (pair, rule) and "substring" can emit
+        # a mutual-containment pair twice, so those still aggregate.)
+        if len(per_engine) == 1 and engines[0] in ("minhash", "window", "ann"):
+            edges = (
+                union.select(
+                    "src", "dst",
+                    F.array(F.col("rule")).alias("rules"),
+                    F.col("score"),
+                )
+                .withColumn("session", F.lit(cfg.session_name))
             )
-            .withColumn("session", F.lit(cfg.session_name))
-        )
+        else:
+            edges = (
+                union.groupBy("src", "dst")
+                .agg(
+                    F.array_sort(F.collect_set("rule")).alias("rules"),
+                    F.max("score").alias("score"),
+                )
+                .withColumn("session", F.lit(cfg.session_name))
+            )
         edges = cat.write("candidate_edges", edges)
         cat.log_lineage("candidate_edges", {"rows_out": cat.manifest("candidate_edges")["rows"],
                                             "engines": list(engines), **engine_counters,
