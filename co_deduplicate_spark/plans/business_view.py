@@ -70,27 +70,39 @@ def business_view(corpus: DataFrame, labels: DataFrame, edges: DataFrame,
     member_of = labels.select(F.col("node").alias("url"), "component")
     src_of = corpus.select("url", "source", F.col("session").alias("own_session"))
 
-    # cluster sizes first (salted count — cheap, no arrays); member/source
-    # sets are collected only for components under the cap
-    sizes = salted_count(member_of, ["component"], F.col("url"), n_salts).select(
-        "component", F.col("count").alias("_csize")
-    )
     if max_members_inline is not None:
-        sizes = sizes.localCheckpoint()  # feeds both the filter and the join
+        # cluster sizes first (salted count — cheap, no arrays); member/
+        # source sets are collected only for components under the cap
+        sizes = salted_count(member_of, ["component"], F.col("url"), n_salts).select(
+            "component", F.col("count").alias("_csize")
+        ).localCheckpoint()  # feeds both the filter and the join
         small_members = member_of.join(
             sizes.filter(F.col("_csize") <= max_members_inline).select("component"),
             "component", "left_semi",
         )
+        cluster_sets = salted_collect_sets(
+            small_members.join(src_of.select("url", "source"), "url", "left"),
+            ["component"], ["url", "source"], F.col("url"), n_salts,
+        ).select(
+            "component",
+            F.col("set_url").alias("members"),
+            F.col("set_source").alias("sources"),
+        )
     else:
-        small_members = member_of
-    cluster_sets = salted_collect_sets(
-        small_members.join(src_of.select("url", "source"), "url", "left"),
-        ["component"], ["url", "source"], F.col("url"), n_salts,
-    ).select(
-        "component",
-        F.col("set_url").alias("members"),
-        F.col("set_source").alias("sources"),
-    )
+        # r6 (guide §2.4): uncapped path — salted_collect_sets already
+        # counts input rows per component, so the separate salted_count
+        # (two more shuffles + one more join) was redundant; sizes and
+        # sets come from ONE two-stage aggregation.
+        full = salted_collect_sets(
+            member_of.join(src_of.select("url", "source"), "url", "left"),
+            ["component"], ["url", "source"], F.col("url"), n_salts,
+        ).localCheckpoint()
+        sizes = full.select("component", F.col("count").alias("_csize"))
+        cluster_sets = full.select(
+            "component",
+            F.col("set_url").alias("members"),
+            F.col("set_source").alias("sources"),
+        )
 
     if max_members_inline is None:
         # exact path: one aggregation, full adjacency per record
