@@ -393,7 +393,11 @@ def ivf_dup_pairs(embeddings: DataFrame, threshold_micro: int = 400_000,
                              id_col, vec_col) if kmeans_iters else None
     cos_tbl = centroid_cos_micro(embeddings, n_centroids, id_col, vec_col,
                                  centroids=cents).localCheckpoint()
-    probed = ivf_probes(cos_tbl, n_probes).select("id", "cid")
+    # r6 (guide §1.2): ivf_probes ranks K centroids per row with an
+    # interpreted HOF sort; the self-join would evaluate that corpus-wide
+    # ranking once per side — materialize the tiny (id, cid) probe table
+    # instead (n_probes rows per vector).
+    probed = ivf_probes(cos_tbl, n_probes).select("id", "cid").localCheckpoint()
     a, b = probed.alias("a"), probed.alias("b")
     cand = (
         a.join(b, "cid")

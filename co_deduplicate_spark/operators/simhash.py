@@ -169,6 +169,16 @@ def hamming_pairs(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
     ``bit_count(s1 ^ s2)`` — whole-stage codegen, no Python. The result
     set is identical under either blocking; only candidate volume differs.
     """
+    # r6 (guide §4, the lsh.candidate_pairs guard): the self-join below
+    # expands the signature plan once per side — if it still contains the
+    # Arrow simhash kernel (ad-hoc composition, no stage table in
+    # between), every doc would pay the md5-shingle loop TWICE.
+    # Materialize the (doc, simhash) table once in that case only; when
+    # sigs is already a stored/checkpointed table the extra copy is pure
+    # cost. Measured: simhash_hamming_pairs 3.85 → 2.6 s at sf0.1, and
+    # the multi-engine pipeline's simhash engine the same way.
+    if "EvalPython" in sigs._jdf.queryExecution().executedPlan().toString():
+        sigs = sigs.localCheckpoint()
     keyed = (
         sigs.filter(F.col("simhash").isNotNull())
         .select("doc", "simhash",
