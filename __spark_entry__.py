@@ -839,14 +839,24 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_events_top_type(spark, sf_dir):
-    """Window/top-k per group: dominant event_type per user."""
+    """Window/top-k per group: dominant event_type per user.
+
+    r6 (guide §2.3 "aggregate before you shuffle"): the top-1 row is a
+    min over structs — ``min(struct(-n, event_type))`` picks exactly the
+    (max n, then lexicographically-first type) row the former
+    row_number window selected, but as a PARTIALLY-AGGREGATING hash
+    aggregate instead of a full per-user sort. Same rows, same values.
+    """
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    best = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("_neg_n"),
+                       F.col("event_type").alias("_t"))).alias("_s")
+    )
+    return best.select(
+        "user_id",
+        F.col("_s._t").alias("top_type"),
+        (-F.col("_s._neg_n")).alias("n"),
     )
 
 

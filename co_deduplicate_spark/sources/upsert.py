@@ -327,11 +327,22 @@ class UpsertTable:
         return total
 
     def _read_paths(self, rel_paths: list[str], schema_json: str | None = None) -> DataFrame:
-        if not rel_paths:
-            from pyspark.sql import types as T
+        from pyspark.sql import types as T
 
+        if not rel_paths:
             schema = T.StructType.fromJson(json.loads(schema_json))
             return self.spark.createDataFrame([], schema)
+        if schema_json:
+            # r6 (guide §6): the manifest records the authoritative table
+            # schema at every flip (old ∪ update columns), so reads use it
+            # directly — no mergeSchema pass over every bucket file's
+            # footer per read. Files written before a column was added are
+            # clipped against the declared schema (missing columns → NULL),
+            # exactly what mergeSchema produced.
+            return (
+                self.spark.read.schema(T.StructType.fromJson(json.loads(schema_json)))
+                .parquet(*[str(self.dir / p) for p in rel_paths])
+            )
         return (
             self.spark.read.option("mergeSchema", "true")
             .parquet(*[str(self.dir / p) for p in rel_paths])
