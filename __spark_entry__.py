@@ -235,6 +235,7 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified = verify_candidates(
             cands, docs, id_col="doc_id", text_col="text",
             threshold=CFG.jaccard_threshold, shingle_k=CFG.shingle_k, fold=ASCII_FOLD,
+            candidates_distinct=True,  # candidate_pairs ends in distinct()
         )
         _VERIFIED_CACHE[key] = verified.localCheckpoint()
     return _VERIFIED_CACHE[key]

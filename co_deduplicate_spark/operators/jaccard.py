@@ -157,18 +157,28 @@ def jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 def verify_candidates(candidates: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", threshold: float = 0.8,
-                      shingle_k: int = 3, fold: bool = True) -> DataFrame:
+                      shingle_k: int = 3, fold: bool = True,
+                      candidates_distinct: bool = False) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (src, dst).
 
     Joins each side to its shingle set, intersects via a postings join
     restricted to candidate pairs — never materializes full cross products.
     Returns (src, dst, jaccard) for pairs passing the threshold.
+
+    ``candidates_distinct=True`` (r6, guide §2.4): skip the internal
+    dedupe when the caller guarantees unique pairs — every blocking stage
+    in this repo (candidate_pairs, the incremental probe) already ends in
+    ``.distinct()``, so the old unconditional re-distinct was a second
+    full exchange of the candidate set per verification.
     """
     # The candidate plan (pandas-UDF signatures + LSH self-join) is consumed
     # by two joins below; checkpoint it once so Spark doesn't re-execute
     # the whole upstream per branch. Candidates are (src, dst) pairs — tiny
     # relative to the corpus at any scale.
-    cand = candidates.select("src", "dst").distinct().localCheckpoint()
+    cand = candidates.select("src", "dst")
+    if not candidates_distinct:
+        cand = cand.distinct()
+    cand = cand.localCheckpoint()
 
     # Only candidate docs need shingling — semi-join prunes the corpus
     # first (at 100 TB this skips re-shingling the non-candidate majority).

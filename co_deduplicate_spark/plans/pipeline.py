@@ -269,6 +269,7 @@ def run_pipeline(
             verified = verify_candidates(
                 cands, corpus, id_col="url", text_col="text",
                 threshold=cfg.jaccard_threshold, shingle_k=cfg.shingle_k,
+                candidates_distinct=True,  # candidate_pairs ends in distinct()
             )
             per_engine.append(
                 verified.select(

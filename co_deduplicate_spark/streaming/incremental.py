@@ -189,6 +189,7 @@ def incremental_update(
     verified = verify_candidates(
         cands, full_corpus, id_col="url", text_col="text",
         threshold=cfg.jaccard_threshold, shingle_k=cfg.shingle_k,
+        candidates_distinct=True,  # the probe join above ends in distinct()
     )
     # checkpointed: new edges feed the pair merge, the touched-node set and
     # the scoped-CC union — without materialization the LSH join + Jaccard
