@@ -242,20 +242,33 @@ def incremental_update(
         .distinct()
         .localCheckpoint()
     )
+    n_scope = scope_nodes.count()  # cheap: counts the checkpointed blocks
 
-    # 5. CC over the scoped subgraph with session-evidence edge filter (G2)
+    # 5. CC over the scoped subgraph with session-evidence edge filter (G2).
+    #    r6 (guide §2.4): "either endpoint in scope" was a UNION of two
+    #    semi-joins — each re-executing the whole `live` subtree (the
+    #    untouched anti-join + touched per-pair merge) and paying a
+    #    distinct exchange to drop both-endpoint duplicates. Two LEFT
+    #    joins against the (checkpointed, broadcast-small) scope set mark
+    #    both endpoints in ONE pass over `live`, emit each edge at most
+    #    once, and the downstream CC's own canonical distinct makes a
+    #    separate dedupe redundant. Row set identical: exactly the live
+    #    edges with src or dst in scope.
     live = session_edges(all_edges, current_session)
+    sm = scope_nodes.select(F.col("node").alias("src"), F.lit(True).alias("_in_s"))
+    dm = scope_nodes.select(F.col("node").alias("dst"), F.lit(True).alias("_in_d"))
     scoped_edges = (
-        live.join(scope_nodes.withColumnRenamed("node", "src"), "src", "left_semi")
-        .unionByName(
-            live.join(scope_nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
-        )
+        live.join(_maybe_broadcast(sm, n_scope), "src", "left")
+        .join(_maybe_broadcast(dm, n_scope), "dst", "left")
+        .filter(F.col("_in_s").isNotNull() | F.col("_in_d").isNotNull())
         .select("src", "dst")
-        .distinct()
     )
+    # r6: O(scope) rows, referenced three times (labels anti-join, labels
+    # union, the caller's state MERGE) — materialize once so the CC
+    # label-extraction and singleton attach don't re-run per consumer
     relabeled = attach_singletons(
         connected_components(scoped_edges, cfg=cfg), scope_nodes, node_col="node"
-    )
+    ).localCheckpoint()
 
     # 6. untouched components keep their labels (the O(affected) property).
     # Precedence is DETERMINISTIC: a node present on both sides (only
