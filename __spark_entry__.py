@@ -221,8 +221,24 @@ simhashes AS (
 # Several queries (minhash_lsh_pairs, dup_clusters_cc, cluster_chains,
 # session_predicates, business_view_enriched) consume the same verified
 # edge set — materialize it once per (application, sf_dir), exactly like
-# the pipeline's checkpointed candidate_edges stage table.
-_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+# the pipeline's checkpointed candidate_edges stage table. r6: the CC
+# labels over those edges are shared the same way (dup_clusters_cc and
+# cluster_chains consume the identical label table — the pipeline's
+# cluster_labels stage). The labels cache lives and dies WITH the
+# verified cache: clearing one clears both, so the frozen bench's
+# per-pass `_VERIFIED_CACHE.clear()` keeps every pass independent —
+# within a pass the battery shares checkpointed stage tables exactly
+# like a real run (first consumer pays), never across passes or runs.
+_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+class _SharedStageCache(dict):
+    def clear(self) -> None:  # the bench clears per pass; labels follow
+        super().clear()
+        _LABELS_CACHE.clear()
+
+
+_VERIFIED_CACHE: dict[tuple[str, str], DataFrame] = _SharedStageCache()
 
 
 def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,14 +263,17 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC is type-preserving — long node ids shuffle as longs (half the width
     of the round-1 zero-padded strings) and component = numeric min member
     (matches the SQL oracle's least())."""
-    docs = _t(spark, sf_dir, "documents")
-    edges = _lsh_verified_pairs(spark, sf_dir).select("src", "dst")
-    labels = connected_components(edges, cfg=CFG)
-    labels = attach_singletons(labels, docs.select(F.col("doc_id").alias("doc")), "doc")
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LABELS_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        edges = _lsh_verified_pairs(spark, sf_dir).select("src", "dst")
+        labels = connected_components(edges, cfg=CFG)
+        labels = attach_singletons(labels, docs.select(F.col("doc_id").alias("doc")), "doc")
+        _LABELS_CACHE[key] = labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+        ).localCheckpoint()
+    return _LABELS_CACHE[key]
 
 
 _SQL_CC = f"""

@@ -229,10 +229,14 @@ def incremental_update(
         .union(new_edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # r6: O(touched components) rows, consumed twice (affected_nodes semi,
+    # untouched anti) — materialized so the old_labels semi-scan behind it
+    # runs once, not per consumer
     affected = (
         old_labels.join(touched, "node", "left_semi")
         .select("component")
         .distinct()
+        .localCheckpoint()
     )
     affected_nodes = old_labels.join(affected, "component", "left_semi").select("node")
     # every new url is in scope even if it produced no edges (new singletons
