@@ -712,8 +712,10 @@ def q_incremental_session_merge(spark, sf_dir):
     # sides), which re-executed the exhaustive jaccard fixture and the old
     # MinHash kernel per consumer. In production these are stored-table
     # scans — materialize once to match (within-query localCheckpoint, no
-    # cross-run state). Measured: 13.2 → 7.5 s at sf0.1; executed plans show
-    # the update reading ExistingRDD state, as on the production path.
+    # cross-run state). Measured: 13.2 → 8.5 s at sf0.1 from this change
+    # alone (6.20 s in the end-of-round battery with the other r6
+    # changes); executed plans show the update reading ExistingRDD state,
+    # as on the production path.
     old_edges = (
         old_pairs.select("src", "dst", F.array(F.lit("seed-rule")).alias("rules"))
         .unionByName(planted)

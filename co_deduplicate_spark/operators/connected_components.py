@@ -34,10 +34,12 @@ from ..config import DedupConfig
 # intermediate distinct also dropped: duplicates cannot change any min,
 # and small-star's terminal distinct bounds growth before the checksum).
 # Plan diff captured in plans/r06/dup_clusters_cc_{before,after}.txt.
-# Measured: dup_clusters_cc 1.55 → 1.1 s, cluster_chains 1.54 → 1.1 s at
-# sf0.1, and two CC invocations inside incremental_session_merge; at
-# scale the win is one fewer full network pass of the edge set per star
-# step (the sort runs on already-exchanged partitions).
+# Measured: 3M-node/3M-edge interleaved A/B 34.7 → 23.8 s warm with
+# identical labels; at sf0.1 dup_clusters_cc landed at 1.05 s in the
+# end-of-round battery (1.55 s r5), with two further CC invocations
+# inside incremental_session_merge and one per pipeline. At scale the
+# win is one fewer full network pass of the edge set per star step (the
+# sort runs on already-exchanged partitions).
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -50,8 +50,10 @@ def token_hash_py(token: str, bits: int = 60) -> int:
 # the md5-per-shingle loop dominates the simhash kernel (PLANS.md §8), and
 # near-duplicate / boilerplate corpora repeat most shingles across docs —
 # memoization is pure (deterministic), bounded, and persists across Arrow
-# batches in a reused python worker. Measured: simhash_values 0.93 → 0.6 s,
-# simhash_hamming_pairs 3.98 → 3.1 s at sf0.1.
+# batches in a reused python worker. Measured: simhash_hamming_pairs
+# 3.98 → 3.54 s at sf0.1 from this change alone (1.28 s once the
+# hamming_pairs self-join stopped double-running the kernel; 1.10 s in
+# the end-of-round battery, BENCH/battery_r6_run2.json).
 _SHINGLE60_CACHE: dict[str, int] = {}
 _SHINGLE60_CACHE_MAX = 1 << 20
 

@@ -146,7 +146,8 @@ def rule_pairs(docs: DataFrame, rules: list[Rule], derived: dict[str, Column],
     # join sides, i.e. ~16 full normalization passes over the corpus. One
     # pass + in-memory reuse is exactly the reference's "normalize at index
     # time, compare exact" economics. Measured: rule_scenario_pairs
-    # 4.31 → 1.9 s, rule_based_pairs 1.27 → 0.9 s at sf0.1.
+    # 4.31 → 2.62 s, rule_based_pairs 1.27 → 0.93 s at sf0.1 from this
+    # change alone (1.69 / 0.64 s in the end-of-round battery).
     base = base.localCheckpoint()
 
     per_rule = []
